@@ -1,0 +1,137 @@
+"""Fused GroupNorm(+SiLU) for TPU.
+
+The GroupNorm -> SiLU -> Conv pattern is the hot elementwise chain of both
+the UNet ResBlock (/root/reference/cpd/models/unet.py:207-238) and the VAE
+(/root/reference/cpd/models/autoencoder.py:153-179). XLA computes it with two
+HBM passes over the activation (reduce, then normalize); the Pallas kernel
+below does it in one pass when a sample fits in VMEM, computing group
+statistics via a tiny one-hot matmul (channels -> groups) to avoid lane-dim
+reshapes.
+
+Layout: NHWC (TPU-native). Weights gamma/beta are per-channel [C].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["group_norm", "group_norm_silu"]
+
+# Per-sample VMEM budget for the single-pass kernel (bytes of f32 activation).
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _gn_kernel(x_ref, gamma_ref, beta_ref, c2g_ref, o_ref, *, eps, n_per_group, silu):
+    """One grid step = one sample. x: [1, HW, C]."""
+    x = x_ref[0].astype(jnp.float32)  # [HW, C]
+    c2g = c2g_ref[...]  # [C, G] one-hot (f32)
+
+    s1 = jnp.sum(x, axis=0, keepdims=True)  # [1, C]
+    s2 = jnp.sum(x * x, axis=0, keepdims=True)
+    g1 = jnp.dot(s1, c2g, preferred_element_type=jnp.float32)  # [1, G]
+    g2 = jnp.dot(s2, c2g, preferred_element_type=jnp.float32)
+    mean_g = g1 / n_per_group
+    var_g = g2 / n_per_group - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast back to channels: [1, G] @ [G, C]
+    mean_c = jnp.dot(mean_g, c2g.T, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd_g, c2g.T, preferred_element_type=jnp.float32)
+
+    y = (x - mean_c) * rstd_c
+    y = y * gamma_ref[...].astype(jnp.float32) + beta_ref[...].astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "silu", "interpret"))
+def _gn_pallas(x, gamma, beta, *, num_groups, eps, silu, interpret):
+    n, h, w, c = x.shape
+    hw = h * w
+    xr = x.reshape(n, hw, c)
+    c2g = np.zeros((c, num_groups), dtype=np.float32)
+    group_size = c // num_groups
+    for g in range(num_groups):
+        c2g[g * group_size : (g + 1) * group_size, g] = 1.0
+    c2g = jnp.asarray(c2g)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _gn_kernel, eps=eps, n_per_group=float(hw * group_size), silu=silu
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, num_groups), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(xr, gamma.reshape(1, c), beta.reshape(1, c), c2g)
+    return out.reshape(n, h, w, c)
+
+
+def _gn_xla(x, gamma, beta, num_groups, eps, silu):
+    n, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(n, h * w, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.var(xf, axis=(1, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(n, h, w, c)
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+def _dispatch(x, gamma, beta, num_groups, eps, silu, use_pallas, interpret=False):
+    if x.shape[-1] % num_groups != 0:
+        raise ValueError(f"channels {x.shape[-1]} not divisible by {num_groups} groups")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n, h, w, c = x.shape
+    fits = h * w * c * 4 <= _VMEM_BUDGET and c % 128 == 0
+    if (use_pallas and fits) or interpret:
+        return _gn_pallas(
+            x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu,
+            interpret=interpret,
+        )
+    return _gn_xla(x, gamma, beta, num_groups, eps, silu)
+
+
+def group_norm(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """GroupNorm over NHWC (equivalent to torch GroupNorm32, models/util.py:103)."""
+    return _dispatch(x, gamma, beta, num_groups, eps, False, use_pallas, interpret)
+
+
+def group_norm_silu(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused GroupNorm + SiLU (the ResBlock in_layers / out_layers prefix)."""
+    return _dispatch(x, gamma, beta, num_groups, eps, True, use_pallas, interpret)

@@ -16,3 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402,F401
+
+# This jax build's DEFAULT matmul precision demotes f32 matmuls (~1e-1 abs
+# error at dim 128); pin full precision so numerics tests are meaningful.
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,165 @@
+"""Kernel-level tests: flash attention, fused groupnorm, blur.
+
+Pallas kernels run in interpreter mode on CPU; each is checked against an
+independent pure-numpy/XLA reference implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from complex_prompt_diffusion_tpu import ops
+
+
+def _ref_attention(q, k, v, scale):
+    s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q, np.float64), np.asarray(k, np.float64))
+    s = s * scale
+    s = s - s.max(axis=-1, keepdims=True)
+    p = np.exp(s)
+    p = p / p.sum(axis=-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v, np.float64))
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize(
+        "sq,skv,d",
+        [
+            (128, 128, 128),  # aligned
+            (256, 77, 64),    # cross-attn: unaligned kv + sub-lane head dim
+            (100, 100, 40),   # everything unaligned (SD1 level-0 head dim)
+        ],
+    )
+    def test_pallas_matches_reference(self, sq, skv, d):
+        key = jax.random.PRNGKey(0)
+        kq, kk, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (2, 3, sq, d), jnp.float32)
+        k = jax.random.normal(kk, (2, 3, skv, d), jnp.float32)
+        v = jax.random.normal(kv_, (2, 3, skv, d), jnp.float32)
+
+        out = ops.flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+        ref = _ref_attention(q, k, v, 1.0 / np.sqrt(d))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+    def test_multiple_kv_blocks(self):
+        # force the online-softmax accumulation across 4 kv blocks
+        key = jax.random.PRNGKey(1)
+        kq, kk, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 1, 128, 128), jnp.float32)
+        k = jax.random.normal(kk, (1, 1, 512, 128), jnp.float32)
+        v = jax.random.normal(kv_, (1, 1, 512, 128), jnp.float32)
+        out = ops.flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+        ref = _ref_attention(q, k, v, 1.0 / np.sqrt(128))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+    def test_xla_fallback_matches_reference(self):
+        key = jax.random.PRNGKey(2)
+        kq, kk, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (2, 4, 64, 40))
+        k = jax.random.normal(kk, (2, 4, 77, 40))
+        v = jax.random.normal(kv_, (2, 4, 77, 40))
+        out = ops.flash_attention(q, k, v, use_pallas=False)
+        ref = _ref_attention(q, k, v, 1.0 / np.sqrt(40))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+    def test_bf16(self):
+        key = jax.random.PRNGKey(3)
+        kq, kk, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 2, 128, 64), jnp.bfloat16)
+        k = jax.random.normal(kk, (1, 2, 128, 64), jnp.bfloat16)
+        v = jax.random.normal(kv_, (1, 2, 128, 64), jnp.bfloat16)
+        out = ops.flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+        assert out.dtype == jnp.bfloat16
+        ref = _ref_attention(
+            np.asarray(q, np.float32), np.asarray(k, np.float32),
+            np.asarray(v, np.float32), 1.0 / np.sqrt(64),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), ref, atol=2e-2, rtol=2e-2
+        )
+
+    def test_merged_head_layout(self):
+        key = jax.random.PRNGKey(4)
+        kq, kk, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (2, 64, 8 * 40))
+        k = jax.random.normal(kk, (2, 77, 8 * 40))
+        v = jax.random.normal(kv_, (2, 77, 8 * 40))
+        out = ops.attention(q, k, v, num_heads=8, use_pallas=False)
+        assert out.shape == (2, 64, 320)
+        # equivalent to split-head reference
+        qh = q.reshape(2, 64, 8, 40).transpose(0, 2, 1, 3)
+        kh = k.reshape(2, 77, 8, 40).transpose(0, 2, 1, 3)
+        vh = v.reshape(2, 77, 8, 40).transpose(0, 2, 1, 3)
+        ref = _ref_attention(qh, kh, vh, 1 / np.sqrt(40))
+        ref = ref.transpose(0, 2, 1, 3).reshape(2, 64, 320)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def _ref_group_norm(x, gamma, beta, groups, eps):
+    n, h, w, c = x.shape
+    xf = np.asarray(x, np.float64).reshape(n, h * w, groups, c // groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    y = ((xf - mean) / np.sqrt(var + eps)).reshape(n, h, w, c)
+    return y * np.asarray(gamma, np.float64) + np.asarray(beta, np.float64)
+
+
+class TestGroupNorm:
+    def _data(self, n=2, h=8, w=8, c=128):
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        x = jax.random.normal(k1, (n, h, w, c)) * 3 + 1
+        gamma = jax.random.normal(k2, (c,)) * 0.5 + 1
+        beta = jax.random.normal(k3, (c,)) * 0.2
+        return x, gamma, beta
+
+    def test_xla_matches_numpy(self):
+        x, gamma, beta = self._data()
+        out = ops.group_norm(x, gamma, beta, num_groups=32, use_pallas=False)
+        ref = _ref_group_norm(x, gamma, beta, 32, 1e-5)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+    def test_pallas_matches_xla(self):
+        x, gamma, beta = self._data()
+        ref = ops.group_norm(x, gamma, beta, num_groups=32, use_pallas=False)
+        out = ops.group_norm(x, gamma, beta, num_groups=32, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
+    def test_pallas_silu_matches_xla(self):
+        x, gamma, beta = self._data()
+        ref = ops.group_norm_silu(x, gamma, beta, num_groups=32, use_pallas=False)
+        out = ops.group_norm_silu(x, gamma, beta, num_groups=32, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
+    def test_silu_applied(self):
+        x, gamma, beta = self._data(n=1)
+        a = ops.group_norm(x, gamma, beta, use_pallas=False)
+        b = ops.group_norm_silu(x, gamma, beta, use_pallas=False)
+        expected = np.asarray(a) / (1 + np.exp(-np.asarray(a, np.float64)))
+        np.testing.assert_allclose(np.asarray(b), expected, atol=1e-5)
+
+    def test_bad_groups_raises(self):
+        x, gamma, beta = self._data(c=100)
+        with pytest.raises(ValueError):
+            ops.group_norm(x, gamma, beta, num_groups=32)
+
+
+class TestGaussianBlur:
+    def test_preserves_mean_and_shape(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 4))
+        y = ops.gaussian_blur(x, kernel_size=7)
+        assert y.shape == x.shape
+        # blur preserves local DC: constant input is unchanged
+        const = jnp.ones((1, 16, 16, 2))
+        np.testing.assert_allclose(
+            np.asarray(ops.gaussian_blur(const, 31)), 1.0, atol=1e-5
+        )
+
+    def test_reduces_variance(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 1))
+        y = ops.gaussian_blur(x, kernel_size=15)
+        assert float(jnp.var(y)) < 0.3 * float(jnp.var(x))
