@@ -1,0 +1,388 @@
+"""Checkpoint loading: torch / safetensors state_dicts -> JAX param pytrees.
+
+Handles the CompVis single-file SD checkpoint layout the reference manager
+loads (/root/reference/cpd/manager.py:18-23):
+  * ``model.diffusion_model.*``        -> UNet
+  * ``first_stage_model.*``            -> VAE (AutoencoderKL)
+  * ``cond_stage_model.transformer.*`` -> HF CLIP text (SD 1.x)
+  * ``cond_stage_model.model.*``       -> OpenCLIP text (SD 2.x)
+
+Conversions: conv OIHW -> HWIO, linear [out,in] -> [in,out], norm
+weight/bias -> scale/bias. OpenCLIP's packed ``attn.in_proj_weight`` is split
+into q/k/v. All arrays are loaded as f32 numpy; casting to compute dtype
+happens at apply time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from complex_prompt_diffusion_tpu.models.clip import CLIPTextConfig
+from complex_prompt_diffusion_tpu.models.unet import UNetConfig, build_plan
+from complex_prompt_diffusion_tpu.models.vae import VAEConfig
+
+__all__ = [
+    "load_state_dict",
+    "convert_unet",
+    "convert_vae",
+    "convert_clip_hf",
+    "convert_clip_openclip",
+    "load_sd_checkpoint",
+]
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def load_state_dict(path: str) -> Dict[str, Array]:
+    """Read a torch .ckpt/.pt (pickle) or .safetensors file into numpy f32."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        raw = load_file(path)
+    else:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(obj, dict) and "state_dict" in obj:
+            obj = obj["state_dict"]
+        raw = {k: v.float().numpy() for k, v in obj.items() if hasattr(v, "numpy")}
+    return {k: np.asarray(v, dtype=np.float32) for k, v in raw.items()}
+
+
+def _conv(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    w = sd[prefix + ".weight"]
+    return {
+        "kernel": np.transpose(w, (2, 3, 1, 0)),  # OIHW -> HWIO
+        "bias": sd[prefix + ".bias"],
+    }
+
+
+def _linear(sd: StateDict, prefix: str, bias: bool = True) -> Dict[str, Array]:
+    p = {"kernel": sd[prefix + ".weight"].T}
+    if bias:
+        p["bias"] = sd[prefix + ".bias"]
+    return p
+
+
+def _norm(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+# --------------------------------------------------------------------------
+# UNet (CompVis model.diffusion_model.* layout)
+# --------------------------------------------------------------------------
+
+
+def _convert_res(sd: StateDict, p: str) -> Dict[str, Any]:
+    out = {
+        "in_norm": _norm(sd, f"{p}.in_layers.0"),
+        "in_conv": _conv(sd, f"{p}.in_layers.2"),
+        "emb": _linear(sd, f"{p}.emb_layers.1"),
+        "out_norm": _norm(sd, f"{p}.out_layers.0"),
+        "out_conv": _conv(sd, f"{p}.out_layers.3"),
+    }
+    if f"{p}.skip_connection.weight" in sd:
+        out["skip"] = _conv(sd, f"{p}.skip_connection")
+    return out
+
+
+def _convert_spatial_transformer(
+    sd: StateDict, p: str, depth: int, use_linear: bool
+) -> Dict[str, Any]:
+    if use_linear:
+        proj_in = _linear(sd, f"{p}.proj_in")
+        proj_out = _linear(sd, f"{p}.proj_out")
+    else:
+        proj_in = _conv(sd, f"{p}.proj_in")
+        proj_out = _conv(sd, f"{p}.proj_out")
+    blocks = []
+    for d in range(depth):
+        b = f"{p}.transformer_blocks.{d}"
+        blocks.append(
+            {
+                "norm1": _norm(sd, f"{b}.norm1"),
+                "attn1": {
+                    "to_q": _linear(sd, f"{b}.attn1.to_q", bias=False),
+                    "to_k": _linear(sd, f"{b}.attn1.to_k", bias=False),
+                    "to_v": _linear(sd, f"{b}.attn1.to_v", bias=False),
+                    "to_out": _linear(sd, f"{b}.attn1.to_out.0"),
+                },
+                "norm2": _norm(sd, f"{b}.norm2"),
+                "attn2": {
+                    "to_q": _linear(sd, f"{b}.attn2.to_q", bias=False),
+                    "to_k": _linear(sd, f"{b}.attn2.to_k", bias=False),
+                    "to_v": _linear(sd, f"{b}.attn2.to_v", bias=False),
+                    "to_out": _linear(sd, f"{b}.attn2.to_out.0"),
+                },
+                "norm3": _norm(sd, f"{b}.norm3"),
+                "ff": {
+                    "proj": _linear(sd, f"{b}.ff.net.0.proj"),
+                    "out": _linear(sd, f"{b}.ff.net.2"),
+                },
+            }
+        )
+    return {
+        "norm": _norm(sd, f"{p}.norm"),
+        "proj_in": proj_in,
+        "proj_out": proj_out,
+        "blocks": blocks,
+    }
+
+
+def convert_unet(
+    cfg: UNetConfig, sd: StateDict, prefix: str = "model.diffusion_model."
+) -> Dict[str, Any]:
+    """Map CompVis UNet keys (unet.py:531-739 module tree) onto the plan."""
+    input_plan, middle_plan, output_plan = build_plan(cfg)
+
+    def convert_sublayer(desc, p: str):
+        kind = desc[0]
+        if kind in ("conv_in", "down", "up"):
+            if kind == "down":
+                return _conv(sd, f"{p}.op")
+            if kind == "up":
+                return _conv(sd, f"{p}.conv")
+            return _conv(sd, p)
+        if kind == "res":
+            return _convert_res(sd, p)
+        if kind == "attn":
+            return _convert_spatial_transformer(
+                sd, p, desc[4], cfg.use_linear_in_transformer
+            )
+        raise ValueError(kind)
+
+    params: Dict[str, Any] = {
+        "time_embed": {
+            "lin1": _linear(sd, f"{prefix}time_embed.0"),
+            "lin2": _linear(sd, f"{prefix}time_embed.2"),
+        },
+        "input_blocks": [
+            [
+                convert_sublayer(desc, f"{prefix}input_blocks.{i}.{j}")
+                for j, desc in enumerate(block)
+            ]
+            for i, block in enumerate(input_plan)
+        ],
+        "middle_block": [
+            convert_sublayer(desc, f"{prefix}middle_block.{j}")
+            for j, desc in enumerate(middle_plan)
+        ],
+        "output_blocks": [
+            [
+                convert_sublayer(desc, f"{prefix}output_blocks.{i}.{j}")
+                for j, desc in enumerate(block)
+            ]
+            for i, block in enumerate(output_plan)
+        ],
+        "out": {
+            "norm": _norm(sd, f"{prefix}out.0"),
+            "conv": _conv(sd, f"{prefix}out.2"),
+        },
+    }
+    if cfg.num_classes and f"{prefix}label_emb.weight" in sd:
+        params["label_emb"] = {"embedding": sd[f"{prefix}label_emb.weight"]}
+    return params
+
+
+# --------------------------------------------------------------------------
+# VAE (first_stage_model.* layout)
+# --------------------------------------------------------------------------
+
+
+def _convert_vae_res(sd: StateDict, p: str) -> Dict[str, Any]:
+    out = {
+        "norm1": _norm(sd, f"{p}.norm1"),
+        "conv1": _conv(sd, f"{p}.conv1"),
+        "norm2": _norm(sd, f"{p}.norm2"),
+        "conv2": _conv(sd, f"{p}.conv2"),
+    }
+    if f"{p}.nin_shortcut.weight" in sd:
+        out["nin_shortcut"] = _conv(sd, f"{p}.nin_shortcut")
+    return out
+
+
+def _convert_vae_attn(sd: StateDict, p: str) -> Dict[str, Any]:
+    return {
+        "norm": _norm(sd, f"{p}.norm"),
+        "q": _conv(sd, f"{p}.q"),
+        "k": _conv(sd, f"{p}.k"),
+        "v": _conv(sd, f"{p}.v"),
+        "proj_out": _conv(sd, f"{p}.proj_out"),
+    }
+
+
+def convert_vae(
+    cfg: VAEConfig, sd: StateDict, prefix: str = "first_stage_model."
+) -> Dict[str, Any]:
+    n_levels = len(cfg.ch_mult)
+
+    enc: Dict[str, Any] = {
+        "conv_in": _conv(sd, f"{prefix}encoder.conv_in"),
+        "down": [],
+    }
+    for lv in range(n_levels):
+        base = f"{prefix}encoder.down.{lv}"
+        down: Dict[str, Any] = {
+            "block": [
+                _convert_vae_res(sd, f"{base}.block.{b}")
+                for b in range(cfg.num_res_blocks)
+            ],
+            "attn": [],
+        }
+        b = 0
+        while f"{base}.attn.{b}.q.weight" in sd:
+            down["attn"].append(_convert_vae_attn(sd, f"{base}.attn.{b}"))
+            b += 1
+        if f"{base}.downsample.conv.weight" in sd:
+            down["downsample"] = _conv(sd, f"{base}.downsample.conv")
+        enc["down"].append(down)
+    enc["mid"] = {
+        "block_1": _convert_vae_res(sd, f"{prefix}encoder.mid.block_1"),
+        "attn_1": _convert_vae_attn(sd, f"{prefix}encoder.mid.attn_1"),
+        "block_2": _convert_vae_res(sd, f"{prefix}encoder.mid.block_2"),
+    }
+    enc["norm_out"] = _norm(sd, f"{prefix}encoder.norm_out")
+    enc["conv_out"] = _conv(sd, f"{prefix}encoder.conv_out")
+
+    dec: Dict[str, Any] = {
+        "conv_in": _conv(sd, f"{prefix}decoder.conv_in"),
+        "mid": {
+            "block_1": _convert_vae_res(sd, f"{prefix}decoder.mid.block_1"),
+            "attn_1": _convert_vae_attn(sd, f"{prefix}decoder.mid.attn_1"),
+            "block_2": _convert_vae_res(sd, f"{prefix}decoder.mid.block_2"),
+        },
+        "up": [],
+    }
+    for lv in range(n_levels):
+        base = f"{prefix}decoder.up.{lv}"
+        up: Dict[str, Any] = {
+            "block": [
+                _convert_vae_res(sd, f"{base}.block.{b}")
+                for b in range(cfg.num_res_blocks + 1)
+            ],
+            "attn": [],
+        }
+        b = 0
+        while f"{base}.attn.{b}.q.weight" in sd:
+            up["attn"].append(_convert_vae_attn(sd, f"{base}.attn.{b}"))
+            b += 1
+        if f"{base}.upsample.conv.weight" in sd:
+            up["upsample"] = _conv(sd, f"{base}.upsample.conv")
+        dec["up"].append(up)
+    dec["norm_out"] = _norm(sd, f"{prefix}decoder.norm_out")
+    dec["conv_out"] = _conv(sd, f"{prefix}decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, f"{prefix}quant_conv"),
+        "post_quant_conv": _conv(sd, f"{prefix}post_quant_conv"),
+    }
+
+
+# --------------------------------------------------------------------------
+# CLIP text towers
+# --------------------------------------------------------------------------
+
+
+def convert_clip_hf(
+    cfg: CLIPTextConfig,
+    sd: StateDict,
+    prefix: str = "cond_stage_model.transformer.",
+) -> Dict[str, Any]:
+    """HF CLIPTextModel layout (SD 1.x)."""
+    t = f"{prefix}text_model."
+    params: Dict[str, Any] = {
+        "token_embedding": sd[f"{t}embeddings.token_embedding.weight"],
+        "position_embedding": sd[f"{t}embeddings.position_embedding.weight"],
+        "layers": [],
+        "final_ln": _norm(sd, f"{t}final_layer_norm"),
+    }
+    for i in range(cfg.num_layers):
+        b = f"{t}encoder.layers.{i}"
+        params["layers"].append(
+            {
+                "ln1": _norm(sd, f"{b}.layer_norm1"),
+                "q": _linear(sd, f"{b}.self_attn.q_proj"),
+                "k": _linear(sd, f"{b}.self_attn.k_proj"),
+                "v": _linear(sd, f"{b}.self_attn.v_proj"),
+                "out": _linear(sd, f"{b}.self_attn.out_proj"),
+                "ln2": _norm(sd, f"{b}.layer_norm2"),
+                "fc1": _linear(sd, f"{b}.mlp.fc1"),
+                "fc2": _linear(sd, f"{b}.mlp.fc2"),
+            }
+        )
+    if f"{prefix}text_projection.weight" in sd:
+        params["text_projection"] = _linear(sd, f"{prefix}text_projection", bias=False)
+    return params
+
+
+def convert_clip_openclip(
+    cfg: CLIPTextConfig, sd: StateDict, prefix: str = "cond_stage_model.model."
+) -> Dict[str, Any]:
+    """OpenCLIP text-tower layout (SD 2.x): packed in_proj qkv, c_fc/c_proj."""
+    d = cfg.hidden_size
+    params: Dict[str, Any] = {
+        "token_embedding": sd[f"{prefix}token_embedding.weight"],
+        "position_embedding": sd[f"{prefix}positional_embedding"],
+        "layers": [],
+        "final_ln": _norm(sd, f"{prefix}ln_final"),
+    }
+    for i in range(cfg.num_layers):
+        b = f"{prefix}transformer.resblocks.{i}"
+        w = sd[f"{b}.attn.in_proj_weight"]  # [3d, d]
+        bias = sd[f"{b}.attn.in_proj_bias"]  # [3d]
+        params["layers"].append(
+            {
+                "ln1": _norm(sd, f"{b}.ln_1"),
+                "q": {"kernel": w[:d].T, "bias": bias[:d]},
+                "k": {"kernel": w[d : 2 * d].T, "bias": bias[d : 2 * d]},
+                "v": {"kernel": w[2 * d :].T, "bias": bias[2 * d :]},
+                "out": _linear(sd, f"{b}.attn.out_proj"),
+                "ln2": _norm(sd, f"{b}.ln_2"),
+                "fc1": _linear(sd, f"{b}.mlp.c_fc"),
+                "fc2": _linear(sd, f"{b}.mlp.c_proj"),
+            }
+        )
+    if f"{prefix}text_projection" in sd:
+        params["text_projection"] = {"kernel": sd[f"{prefix}text_projection"]}
+    return params
+
+
+# --------------------------------------------------------------------------
+# whole-checkpoint entry point
+# --------------------------------------------------------------------------
+
+
+def detect_sd_version(sd: StateDict) -> str:
+    """'sd2' if the checkpoint carries an OpenCLIP tower or 1024-dim context."""
+    if any(k.startswith("cond_stage_model.model.") for k in sd):
+        return "sd2"
+    return "sd1"
+
+
+def load_sd_checkpoint(path: str):
+    """Load a CompVis SD checkpoint into a model bundle:
+    (unet_cfg, unet_params, vae_cfg, vae_params, clip_cfg, clip_params, version).
+    Mirrors the manager's model_dict split (manager.py:18-23)."""
+    sd = load_state_dict(path)
+    version = detect_sd_version(sd)
+    if version == "sd2":
+        in_ch = sd["model.diffusion_model.input_blocks.0.0.weight"].shape[1]
+        unet_cfg = UNetConfig.sd2_depth() if in_ch == 5 else UNetConfig.sd21()
+        clip_cfg = CLIPTextConfig.sd21()
+        clip_params = convert_clip_openclip(clip_cfg, sd)
+    else:
+        unet_cfg = UNetConfig.sd15()
+        clip_cfg = CLIPTextConfig.sd15()
+        clip_params = convert_clip_hf(clip_cfg, sd)
+    vae_cfg = VAEConfig.sd()
+    return {
+        "version": version,
+        "unet": (unet_cfg, convert_unet(unet_cfg, sd)),
+        "vae": (vae_cfg, convert_vae(vae_cfg, sd)),
+        "clip": (clip_cfg, clip_params),
+    }

@@ -20,3 +20,9 @@ import jax  # noqa: E402,F401
 # This jax build's DEFAULT matmul precision demotes f32 matmuls (~1e-1 abs
 # error at dim 128); pin full precision so numerics tests are meaningful.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: XLA compiles are slow on this single-core
+# box; cache them across pytest runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpd_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
