@@ -1,0 +1,58 @@
+"""Sampler registry: the reference's display-name strings -> sampler entries.
+
+Parity target: /root/reference/cpd/samplers/registry.py:3-29 plus the
+@register decorations across samplers/*.py. Names are matched
+case-insensitively (including the reference's "Huen" spelling for Heun).
+Unlike the reference's ``create`` there is NO ``eval`` fallback
+(registry.py:20-29 — noted in SURVEY §5 as a do-not-reproduce).
+
+Each entry: (family, sample_fn) where family is "t" (DDIM-style, drives
+InferenceTables) or "sigma" (k-diffusion, drives a sigma schedule).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+from complex_prompt_diffusion_tpu.samplers import ddim as _ddim
+from complex_prompt_diffusion_tpu.samplers import kdiff as _k
+
+__all__ = ["SAMPLERS", "get_sampler", "register"]
+
+SAMPLERS: Dict[str, Tuple[str, Callable]] = {}
+
+
+def register(name: str, family: str):
+    def deco(fn):
+        SAMPLERS[name.lower()] = (family, fn)
+        return fn
+
+    return deco
+
+
+def get_sampler(name: str) -> Tuple[str, Callable]:
+    """Look up by the reference's display name (e.g. "DDIM", "Euler",
+    "Euler Ancestral", "DPM++ 2m", "Huen", "LMS", "DPM2", "DPM Fast")."""
+    key = name.lower()
+    if key not in SAMPLERS:
+        raise KeyError(
+            f"unknown sampler {name!r}; options: {sorted(SAMPLERS)}"
+        )
+    return SAMPLERS[key]
+
+
+# t-space family
+register("DDIM", "t")(_ddim.sample_ddim)
+register("PLMS", "t")(_ddim.sample_plms)
+
+# sigma-space (k-diffusion) family — names as registered by the reference
+register("Euler", "sigma")(_k.sample_euler)
+register("Euler Ancestral", "sigma")(_k.sample_euler_ancestral)
+register("Huen", "sigma")(_k.sample_heun)  # reference spelling (huen.py:11)
+register("Heun", "sigma")(_k.sample_heun)
+register("DPM2", "sigma")(_k.sample_dpm2)
+register("DPM2 Ancestral", "sigma")(_k.sample_dpm2_ancestral)
+register("DPM++ 2m", "sigma")(_k.sample_dpmpp_2m)
+register("DPM++ 2s Ancestral", "sigma")(_k.sample_dpmpp_2s_ancestral)
+register("LMS", "sigma")(_k.sample_lms)
+register("DPM Fast", "sigma")(_k.sample_dpm_fast)

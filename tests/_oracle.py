@@ -91,6 +91,18 @@ def setup():
             ref_attn.SpatialTransformer.__init__ = _patched
             ref_attn.SpatialTransformer._patched_kwargs = True
 
+        # run the reference's "cuda" paths on CPU: its safe_to resolves
+        # devices through vram.device_lookup, and hot paths call .cuda()
+        # directly (ddim.py:303-304)
+        import cpd.vram as ref_vram
+
+        ref_vram.device_lookup["cuda"] = torch.device("cpu")
+        ref_vram.device_lookup["g"] = torch.device("cpu")
+        ref_vram.device_lookup["gpu"] = torch.device("cpu")
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        torch.cuda.empty_cache = lambda: None
+        torch.cuda.ipc_collect = lambda: None
+
         import cpd  # noqa: F401
 
         _ready = True

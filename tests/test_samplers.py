@@ -1,0 +1,277 @@
+"""Sampler tests.
+
+Two layers of evidence:
+  * Analytic: on the linear-Gaussian toy problem (prior N(0,1), denoiser
+    x/(1+sigma^2)) the Karras ODE has closed-form solution
+    x(sigma) = x0 * sqrt((1+sigma^2)/(1+sigma0^2)); integrators must
+    converge to it at their expected order.
+  * Reference parity: the torch reference's DiscreteScheduler.step and the
+    full DDIMSampler CFG loop (fake UNet, injected noise) must match our
+    ddim_step / sample_ddim bit-for-bit within f32 tolerance.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from complex_prompt_diffusion_tpu import schedules as S
+from complex_prompt_diffusion_tpu import samplers as SA
+from complex_prompt_diffusion_tpu.guidance import GuidanceSpec, GuidanceConfig, make_denoiser
+
+import _oracle
+
+
+def _toy_denoiser(x, sigma, uc_scale):
+    return x / (1.0 + sigma**2)
+
+
+def _toy_analytic(x0, sigma0):
+    return np.asarray(x0) * np.sqrt(1.0 / (1.0 + sigma0**2))
+
+
+class TestKDiffToy:
+    def setup_method(self):
+        self.key = jax.random.PRNGKey(0)
+        self.x0 = jax.random.normal(self.key, (1, 8, 8, 2))
+        self.sigmas = S.make_sigma_schedule("karras", 100, sigma_min=0.02, sigma_max=10.0)
+        self.x_init = self.x0 * float(self.sigmas[0] ** 2 + 1.0) ** 0.5  # scale up
+
+    def _expected(self):
+        # integrate from sigma0 to 0: x(0) = x_init / sqrt(1+sigma0^2)
+        return np.asarray(self.x_init) / np.sqrt(1.0 + float(self.sigmas[0]) ** 2)
+
+    @pytest.mark.parametrize(
+        "fn,tol",
+        [
+            (SA.sample_euler, 5e-2),
+            (SA.sample_heun, 5e-3),
+            (SA.sample_dpm2, 5e-3),
+            (SA.sample_dpmpp_2m, 5e-3),
+            (SA.sample_lms, 5e-3),
+            (SA.sample_dpm_fast, 5e-2),
+        ],
+    )
+    def test_converges_to_analytic(self, fn, tol):
+        x_final, _ = fn(_toy_denoiser, self.x_init, self.sigmas, 1.0)
+        expected = self._expected()
+        err = np.abs(np.asarray(x_final) - expected).max() / np.abs(expected).max()
+        assert err < tol, f"{fn.__name__}: rel err {err}"
+
+    def test_ancestral_deterministic_with_zero_eta(self):
+        xa, _ = SA.sample_euler_ancestral(
+            _toy_denoiser, self.x_init, self.sigmas, 1.0, eta=0.0
+        )
+        xe, _ = SA.sample_euler(_toy_denoiser, self.x_init, self.sigmas, 1.0)
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xe), atol=1e-4)
+        x2a, _ = SA.sample_dpm2_ancestral(
+            _toy_denoiser, self.x_init, self.sigmas, 1.0, eta=0.0
+        )
+        x2, _ = SA.sample_dpm2(_toy_denoiser, self.x_init, self.sigmas, 1.0)
+        np.testing.assert_allclose(np.asarray(x2a), np.asarray(x2), atol=1e-4)
+
+    def test_dpmpp_2s_ancestral_runs(self):
+        x, _ = SA.sample_dpmpp_2s_ancestral(
+            _toy_denoiser, self.x_init, self.sigmas, 1.0,
+            key=jax.random.PRNGKey(1), eta=1.0,
+        )
+        assert np.isfinite(np.asarray(x)).all()
+
+    def test_ancestral_noise_reproducible(self):
+        k = jax.random.PRNGKey(7)
+        x1, _ = SA.sample_euler_ancestral(_toy_denoiser, self.x_init, self.sigmas, 1.0, key=k)
+        x2, _ = SA.sample_euler_ancestral(_toy_denoiser, self.x_init, self.sigmas, 1.0, key=k)
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+class TestDDIMUnit:
+    def test_eta0_step_deterministic(self):
+        tables = S.make_diffusion_tables()
+        it = S.make_inference_tables(tables, 10, eta=0.0)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4))
+        e = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 4))
+        it_j = jax.tree.map(jnp.asarray, it)
+        x1, x0a = SA.ddim_step(x, e, jnp.asarray(9), it_j, jnp.ones_like(x))
+        x2, x0b = SA.ddim_step(x, e, jnp.asarray(9), it_j, jnp.zeros_like(x))
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-7)
+
+    def test_full_chain_runs_and_is_deterministic(self):
+        tables = S.make_diffusion_tables()
+        it = S.make_inference_tables(tables, 5, eta=0.0)
+
+        def eps_fn(x, t, uc_scale, blur):
+            return 0.1 * x
+
+        x_T = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+        ucs = np.full(5, 7.5)
+        a, _ = SA.sample_ddim(eps_fn, x_T, it, ucs)
+        b, _ = SA.sample_ddim(eps_fn, x_T, it, ucs)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_plms_runs(self):
+        tables = S.make_diffusion_tables()
+        # note: steps that don't divide 1000 yield ceil-length grids
+        # (reference discrete.py:488-490 uses range(0, T, T//S))
+        it = S.make_inference_tables(tables, 6, eta=0.0)
+        s = it.num_steps  # 7 for steps=6
+
+        def eps_fn(x, t, uc_scale, blur):
+            return 0.1 * x + 0.01
+
+        x_T = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+        out, traj = SA.sample_plms(eps_fn, x_T, it, np.full(s, 7.5))
+        assert np.isfinite(np.asarray(out)).all()
+        assert traj.shape[0] == s
+
+    def test_ddim_encode_inverts_sampling(self):
+        # encode then decode with the same eps model approximately round-trips
+        tables = S.make_diffusion_tables()
+        it = S.make_inference_tables(tables, 20, eta=0.0)
+
+        def eps_fn(x, t, uc_scale, blur=None):
+            return 0.05 * x
+
+        x0 = 0.5 * jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+        x_enc = SA.ddim_encode(eps_fn, x0, it, 20, np.ones(20))
+        x_dec, _ = SA.sample_ddim(eps_fn, x_enc, it, np.ones(20))
+        np.testing.assert_allclose(np.asarray(x_dec), np.asarray(x0), atol=5e-2)
+
+
+@pytest.mark.skipif(_oracle.setup() is None, reason="reference oracle unavailable")
+class TestReferenceParity:
+    def _tables(self):
+        # the reference DiscreteScheduler defaults: quad betas 0.0008..0.012
+        # ROUNDED to 4 decimals (discrete.py:237)
+        return S.make_diffusion_tables(
+            beta_schedule="quad", beta_start=0.0008, beta_end=0.012,
+            decimal_precision=4,
+        )
+
+    def test_inference_tables_match_reference(self):
+        from cpd.scheduler.discrete import DiscreteScheduler
+
+        ref = DiscreteScheduler(num_train_timesteps=1000, logger=lambda *a: None)
+        ref.set_timesteps(10, eta=0.5)
+        tables = self._tables()
+        it = S.make_inference_tables(tables, 10, eta=0.5)
+        np.testing.assert_allclose(it.timesteps, ref.timesteps)
+        np.testing.assert_allclose(it.alphas_cumprod_t, ref.alphas_cumprod_t, rtol=1e-12)
+        np.testing.assert_allclose(
+            it.alphas_cumprod_prev_t, ref.alphas_cumprod_prev_t, rtol=1e-12
+        )
+        np.testing.assert_allclose(it.sigmas_t, ref.sigmas_t, rtol=1e-10)
+
+    def test_ddim_step_matches_reference(self):
+        import torch
+
+        from cpd.scheduler.discrete import DiscreteScheduler
+
+        ref = DiscreteScheduler(num_train_timesteps=1000, logger=lambda *a: None)
+        ref.set_timesteps(10, eta=1.0)
+        tables = self._tables()
+        it = S.make_inference_tables(tables, 10, eta=1.0)
+        it_j = jax.tree.map(jnp.asarray, it)
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)
+        e = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)
+
+        for idx in [0, 4, 9]:
+            ref_prev, ref_x0 = ref.step(
+                torch.tensor(x), torch.tensor(e), idx, deterministic=True
+            )
+            # deterministic=True uses noise=ones (discrete.py:590-591)
+            mine_prev, mine_x0 = SA.ddim_step(
+                jnp.asarray(x), jnp.asarray(e), jnp.asarray(idx), it_j,
+                jnp.ones_like(jnp.asarray(x)),
+            )
+            np.testing.assert_allclose(
+                np.asarray(mine_prev), ref_prev.numpy(), atol=1e-5, rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(mine_x0), ref_x0.numpy(), atol=1e-5, rtol=1e-5
+            )
+
+    def test_full_ddim_cfg_loop_matches_reference(self):
+        """End-to-end latent parity: reference DDIMSampler.sample with a fake
+        UNet + multi-factor AND/NOT conditioning vs our jit'd scan."""
+        import torch
+
+        from cpd.samplers.ddim import DDIMSampler
+
+        class FakeUNet(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.p = torch.nn.Parameter(torch.zeros(1))
+
+            def forward(self, x, t, c):
+                tt = t.float().reshape(-1, 1, 1, 1)
+                cm = c.float().mean(dim=(1, 2)).reshape(-1, 1, 1, 1)
+                return 0.05 * x + 0.01 * torch.sin(tt * 0.01) + 0.02 * cm
+
+        class Empty(torch.nn.Module):
+            pass
+
+        model = {
+            "unet": FakeUNet(),
+            "vae": Empty(),
+            "tokenizer": None,
+            "decode": lambda z: z,
+            "clip_new_model": Empty(),
+        }
+        sampler = DDIMSampler(model, logger=lambda *a: None)
+        sampler.device = "cpu"
+
+        rng = np.random.default_rng(42)
+        steps, b, c_ch, h, w = 8, 1, 4, 8, 8
+        x_T = rng.normal(size=(b, c_ch, h, w)).astype(np.float32)
+        uc = rng.normal(size=(b, 7, 16)).astype(np.float32)
+        emb1 = rng.normal(size=(b, 7, 16)).astype(np.float32)
+        emb2 = rng.normal(size=(b, 7, 16)).astype(np.float32)
+        emb3 = rng.normal(size=(b, 7, 16)).astype(np.float32)
+
+        cond = {
+            "and": [
+                (1.0, torch.tensor(emb1), None, torch.tensor(1.0)),
+                (0.5, torch.tensor(emb2), None, torch.tensor(1.0)),
+            ],
+            "not": [(0.3, torch.tensor(emb3), None, torch.tensor(1.0))],
+        }
+        ref_out, _ = sampler.sample(
+            steps, b, (c_ch, h, w),
+            conditioning=cond,
+            x_T=torch.tensor(x_T),
+            unconditional_conditioning=torch.tensor(uc),
+            unconditional_guidance_scale=7.5,
+            eta=0.0,
+            verbose=False,
+            silent=True,
+        )
+        ref_out = ref_out.numpy()
+
+        # ---- ours ----
+        def unet_eps(x, t, ctx):  # NHWC
+            tt = t.astype(jnp.float32).reshape(-1, 1, 1, 1)
+            cm = ctx.astype(jnp.float32).mean(axis=(1, 2)).reshape(-1, 1, 1, 1)
+            return 0.05 * x + 0.01 * jnp.sin(tt * 0.01) + 0.02 * cm
+
+        spec = GuidanceSpec(
+            uncond=jnp.asarray(uc[0]),
+            factors=jnp.stack(
+                [jnp.asarray(emb1[0]), jnp.asarray(emb2[0]), jnp.asarray(emb3[0])]
+            ),
+            scales=jnp.asarray([1.0, 0.5, -0.3]),
+            masks=jnp.ones((3, 1, 1, 1)),
+        )
+        eps_fn, _ = make_denoiser(unet_eps, spec, gcfg=GuidanceConfig(guidance_scale=7.5))
+        tables = self._tables()
+        it = S.make_inference_tables(tables, steps, eta=0.0)
+        x0, _ = SA.sample_ddim(
+            eps_fn,
+            jnp.asarray(x_T.transpose(0, 2, 3, 1)),
+            it,
+            np.full(steps, 7.5),
+        )
+        np.testing.assert_allclose(
+            np.asarray(x0).transpose(0, 3, 1, 2), ref_out, atol=2e-3, rtol=1e-3
+        )
