@@ -1,0 +1,117 @@
+"""Headline benchmark: SD-1.5 512x512, DDIM-50, CFG 7.5 — images/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+reported against the UNet speed-of-light bound on this chip: SD-1.5 at 512^2
+is ~0.68 TFLOP per UNet call per image (BASELINE.md:14); a 50-step DDIM
+render with CFG (uncond+cond batched through one call, 2x work) costs
+~68 TFLOP/image. On a v5e chip (~197 bf16 TFLOP/s) speed-of-light is
+~2.9 images/s; vs_baseline = achieved / speed_of_light.
+
+Runs with random bf16 weights (weights don't affect runtime). Usage:
+  python bench.py            # full benchmark (SD-1.5 shapes)
+  python bench.py --small    # tiny config smoke run (CPU-friendly)
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    from complex_prompt_diffusion_tpu import models as M
+    from complex_prompt_diffusion_tpu import samplers as SA
+    from complex_prompt_diffusion_tpu import schedules as S
+    from complex_prompt_diffusion_tpu.guidance import GuidanceSpec, make_denoiser
+    from complex_prompt_diffusion_tpu.guidance.cfg import make_uc_scale_schedule, GuidanceConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    if args.small or not on_tpu:
+        unet_cfg = M.UNetConfig.tiny(context_dim=64)
+        h = w = 16
+        ctx_dim = 64
+        flops_per_call = None
+    else:
+        unet_cfg = M.UNetConfig.sd15()
+        h = w = 64  # 512x512 image
+        ctx_dim = 768
+        flops_per_call = 0.68e12 * 2  # CFG doubles the batch
+
+    key = jax.random.PRNGKey(0)
+    params = M.init_unet(key, unet_cfg)
+    if on_tpu:
+        params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
+
+    tables = S.make_diffusion_tables()
+    itables = S.make_inference_tables(tables, args.steps, eta=0.0)
+    s = itables.num_steps
+
+    cond = jax.random.normal(jax.random.fold_in(key, 1), (77, ctx_dim))
+    uncond = jax.random.normal(jax.random.fold_in(key, 2), (77, ctx_dim))
+    spec = GuidanceSpec.single(cond, uncond)
+    gcfg = GuidanceConfig(guidance_scale=7.5)
+
+    def unet_eps(x, t, ctx):
+        return M.unet_apply(unet_cfg, params, x, t, ctx)
+
+    eps_fn, _ = make_denoiser(unet_eps, spec, gcfg=gcfg)
+    uc_scales = jnp.asarray(make_uc_scale_schedule(gcfg, s), jnp.float32)
+
+    @jax.jit
+    def run(x_T, k):
+        x0, _ = SA.sample_ddim(eps_fn, x_T, itables, uc_scales, key=k)
+        return x0
+
+    shape = (args.batch, h, w, 4)
+    x_T = jax.random.normal(jax.random.fold_in(key, 3), shape, jnp.float32)
+
+    # compile + warmup
+    run(x_T, jax.random.PRNGKey(1)).block_until_ready()
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        run(x_T, jax.random.PRNGKey(2 + i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    images_per_sec = args.batch / dt
+    per_step_ms = dt / s * 1000.0
+
+    if flops_per_call is not None:
+        chip_flops = 197e12  # v5e bf16
+        sol_images_per_sec = chip_flops / (flops_per_call * s)
+        vs_baseline = images_per_sec / sol_images_per_sec
+    else:
+        vs_baseline = 0.0
+
+    result = {
+        "metric": "images/sec/chip SD1.5 512x512 DDIM-50 CFG7.5"
+        if not (args.small or not on_tpu)
+        else "images/sec/chip tiny-unet smoke",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(vs_baseline, 4),
+        "per_step_ms": round(per_step_ms, 2),
+        "steps": s,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

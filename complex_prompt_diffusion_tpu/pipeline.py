@@ -1,0 +1,379 @@
+"""End-to-end pipelines: model bundle + txt2img / img2img.
+
+The TPU-native equivalent of the reference's orchestration layer
+(/root/reference/cpd/manager.py — DiffusionModelManager.process_txt2img :52,
+process_img2img :68, _make_sampler :94) with a typed config instead of the
+kwargs cascade. The whole denoising chain (CFG -> sampler scan) is one jit'd
+XLA program with donated latents; CLIP encode and VAE decode are separate
+jit'd programs (they run once per render, not per step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from complex_prompt_diffusion_tpu import models as M
+from complex_prompt_diffusion_tpu import samplers as SA
+from complex_prompt_diffusion_tpu import schedules as S
+from complex_prompt_diffusion_tpu.guidance import (
+    GuidanceConfig,
+    GuidanceSpec,
+    make_denoiser,
+)
+from complex_prompt_diffusion_tpu.guidance.cfg import (
+    make_uc_blur_schedule,
+    make_uc_scale_schedule,
+)
+from complex_prompt_diffusion_tpu.prompts.tokenizer import get_tokenizer
+
+__all__ = ["ModelBundle", "RenderConfig", "txt2img", "img2img", "decode_latents"]
+
+LATENT_SCALE = 0.18215  # applied by callers in the reference too (prompts.py:326)
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """The model_dict equivalent (manager.py:18-23), as config+params pairs."""
+
+    version: str
+    unet_cfg: M.UNetConfig
+    unet_params: Any
+    vae_cfg: M.VAEConfig
+    vae_params: Any
+    clip_cfg: M.CLIPTextConfig
+    clip_params: Any
+    tokenizer: Any
+    tables: S.DiffusionTables
+    parameterization: str = "eps"
+    clip_layer: str = "last"  # "penultimate" for SD2.x
+
+    @staticmethod
+    def from_checkpoint(path: str, vocab_path: Optional[str] = None) -> "ModelBundle":
+        from complex_prompt_diffusion_tpu.models.params import load_sd_checkpoint
+
+        ck = load_sd_checkpoint(path)
+        version = ck["version"]
+        unet_cfg, unet_params = ck["unet"]
+        vae_cfg, vae_params = ck["vae"]
+        clip_cfg, clip_params = ck["clip"]
+        return ModelBundle(
+            version=version,
+            unet_cfg=unet_cfg,
+            unet_params=unet_params,
+            vae_cfg=vae_cfg,
+            vae_params=vae_params,
+            clip_cfg=clip_cfg,
+            clip_params=clip_params,
+            tokenizer=get_tokenizer(
+                vocab_path, pad_with_eos=(version == "sd1")
+            ),
+            tables=S.make_diffusion_tables(),
+            clip_layer="last" if version == "sd1" else "penultimate",
+        )
+
+    @staticmethod
+    def random(scale: str = "tiny", seed: int = 0) -> "ModelBundle":
+        """Random-weight bundle for tests/benches ("tiny" or "sd15")."""
+        key = jax.random.PRNGKey(seed)
+        if scale == "tiny":
+            unet_cfg = M.UNetConfig.tiny(context_dim=64)
+            unet_cfg = dataclasses.replace(unet_cfg, dtype="float32")
+            vae_cfg = M.VAEConfig.tiny()
+            clip_cfg = M.CLIPTextConfig.tiny()
+        elif scale == "sd15":
+            unet_cfg = M.UNetConfig.sd15()
+            vae_cfg = M.VAEConfig.sd()
+            clip_cfg = M.CLIPTextConfig.sd15()
+        else:
+            raise ValueError(scale)
+        return ModelBundle(
+            version="sd1",
+            unet_cfg=unet_cfg,
+            unet_params=M.init_unet(key, unet_cfg),
+            vae_cfg=vae_cfg,
+            vae_params=M.init_vae(key, vae_cfg),
+            clip_cfg=clip_cfg,
+            clip_params=M.init_clip_text(key, clip_cfg),
+            tokenizer=get_tokenizer(vocab_size=clip_cfg.vocab_size),
+            tables=S.make_diffusion_tables(),
+        )
+
+    def cast(self, dtype: str) -> "ModelBundle":
+        """Cast UNet weights to a compute dtype (bf16 on TPU)."""
+        params = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.dtype(dtype)), self.unet_params
+        )
+        return dataclasses.replace(
+            self,
+            unet_params=params,
+            unet_cfg=dataclasses.replace(self.unet_cfg, dtype=dtype),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Typed render options (the reference's render_args / sampler wrapper
+    hyperparams, diffusion.py:31-66 + the CFG flag surface)."""
+
+    steps: int = 50
+    sampler: str = "DDIM"
+    guidance_scale: float = 7.5
+    width: int = 512
+    height: int = 512
+    batch_size: int = 1
+    seed: int = 0
+    eta: float = 0.0
+    temperature: float = 1.0
+    discretize: str = "uniform"  # uniform | quad | jumps
+    sigma_schedule: str = "default"  # linear | karras | exp | quad | vp | sig
+    sigma_min: Optional[float] = None
+    sigma_max: Optional[float] = None
+    rho: float = 7.0
+    # thresholding on pred_x0 inside the scheduler step
+    clip_sample: Optional[str] = None
+    clip_sample_thresh: float = 90.0
+    # k-family churn
+    s_churn: float = 0.0
+    s_tmin: float = 0.0
+    s_tmax: float = float("inf")
+    s_noise: float = 1.0
+    # img2img
+    denoising_strength: float = 0.75
+    guidance: GuidanceConfig = GuidanceConfig()
+
+    @property
+    def latent_shape(self) -> Tuple[int, int, int]:
+        return (self.height // 8, self.width // 8, 4)
+
+
+def encode_prompt(bundle: ModelBundle, text: Union[str, list]) -> jax.Array:
+    """Text -> CLIP conditioning [N, 77, D] (FrozenCLIPEmbedder.encode
+    semantics, embedder.py:824-838)."""
+    tokens = jnp.asarray(bundle.tokenizer(text))
+    return M.clip_text_apply(
+        bundle.clip_cfg, bundle.clip_params, tokens, layer=bundle.clip_layer
+    )
+
+
+def make_guidance_spec(
+    bundle: ModelBundle,
+    prompt: str,
+    negative_prompt: str = "",
+    scale: float = 1.0,
+) -> GuidanceSpec:
+    """Plain single-prompt CFG spec. Complex prompts build richer specs via
+    prompts.compose."""
+    cond = encode_prompt(bundle, prompt)[0]
+    uncond = encode_prompt(bundle, negative_prompt)[0]
+    return GuidanceSpec.single(cond, uncond, scale)
+
+
+def _unet_eps_fn(bundle: ModelBundle):
+    def unet_eps(x, t, ctx):
+        return M.unet_apply(bundle.unet_cfg, bundle.unet_params, x, t, ctx)
+
+    return unet_eps
+
+
+def _sigma_schedule(bundle: ModelBundle, cfg: RenderConfig) -> np.ndarray:
+    kwargs = {}
+    if cfg.sigma_min is not None:
+        kwargs["sigma_min"] = cfg.sigma_min
+    if cfg.sigma_max is not None:
+        kwargs["sigma_max"] = cfg.sigma_max
+    if cfg.sigma_schedule == "karras":
+        kwargs.setdefault("sigma_min", float(bundle.tables.sigmas[0]))
+        kwargs.setdefault("sigma_max", float(bundle.tables.sigmas[-1]))
+        kwargs["rho"] = cfg.rho
+    return S.make_sigma_schedule(
+        cfg.sigma_schedule, cfg.steps, model_sigmas=bundle.tables.sigmas, **kwargs
+    )
+
+
+def sample_latents(
+    bundle: ModelBundle,
+    spec: GuidanceSpec,
+    cfg: RenderConfig,
+    *,
+    x_init: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    noises: Optional[jax.Array] = None,
+    depth_mask: Optional[jax.Array] = None,
+    t_start: Optional[int] = None,
+) -> jax.Array:
+    """Run the configured sampler; returns final latents [B, h, w, 4]
+    (unscaled model space)."""
+    family, sample_fn = SA.get_sampler(cfg.sampler)
+    key = jax.random.PRNGKey(cfg.seed) if key is None else key
+    key_init, key_steps = jax.random.split(key)
+    shape = (cfg.batch_size,) + cfg.latent_shape
+
+    unet_eps = _unet_eps_fn(bundle)
+
+    if family == "t":
+        itables = S.make_inference_tables(
+            bundle.tables, cfg.steps, eta=cfg.eta, discretize=cfg.discretize
+        )
+        s = itables.num_steps
+        eps_fn, _ = make_denoiser(
+            unet_eps, spec, gcfg=cfg.guidance, depth_mask=depth_mask
+        )
+        uc_scales = make_uc_scale_schedule(cfg.guidance, s)
+        blur_flags = jnp.asarray(make_uc_blur_schedule(cfg.guidance, s))
+        x_T = (
+            x_init
+            if x_init is not None
+            else jax.random.normal(key_init, shape, jnp.float32)
+        )
+        kwargs = dict(
+            key=key_steps,
+            noises=noises,
+            uc_blur_flags=blur_flags,
+            temperature=cfg.temperature,
+            clip_sample=cfg.clip_sample,
+            clip_sample_thresh=cfg.clip_sample_thresh,
+        )
+        if sample_fn is SA.sample_ddim and t_start is not None:
+            kwargs["t_start"] = t_start
+        x0, _ = sample_fn(eps_fn, x_T, itables, uc_scales, **kwargs)
+        return x0
+
+    # sigma family
+    sigmas = _sigma_schedule(bundle, cfg)
+    if t_start is not None:
+        sigmas = sigmas[len(sigmas) - 1 - t_start :]
+    n = len(sigmas) - 1
+    _, den_fn = make_denoiser(
+        unet_eps,
+        spec,
+        gcfg=cfg.guidance,
+        model_sigmas=jnp.asarray(bundle.tables.sigmas),
+        parameterization=bundle.parameterization,
+        depth_mask=depth_mask,
+    )
+    uc_scales = make_uc_scale_schedule(cfg.guidance, n)
+    if x_init is None:
+        x = jax.random.normal(key_init, shape, jnp.float32) * float(sigmas[0])
+    else:
+        x = x_init
+    kw = dict(key=key_steps, noises=noises)
+    if cfg.sampler.lower() in ("euler", "huen", "heun", "dpm2"):
+        kw.update(
+            s_churn=cfg.s_churn, s_tmin=cfg.s_tmin,
+            s_tmax=cfg.s_tmax, s_noise=cfg.s_noise,
+        )
+    if "ancestral" in cfg.sampler.lower():
+        kw["eta"] = cfg.eta if cfg.eta else 1.0
+    x0, _ = sample_fn(den_fn, x, sigmas, uc_scales, **kw)
+    return x0
+
+
+def decode_latents(bundle: ModelBundle, latents: jax.Array) -> np.ndarray:
+    """Latents -> uint8 HWC images (render.py:31-36 semantics: /0.18215,
+    VAE decode, [-1,1] -> [0,255])."""
+    img = M.vae_decode(bundle.vae_cfg, bundle.vae_params, latents / LATENT_SCALE)
+    img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+    return np.asarray(jnp.round(img * 255).astype(jnp.uint8))
+
+
+def encode_image(
+    bundle: ModelBundle, image: np.ndarray, key: Optional[jax.Array] = None
+) -> jax.Array:
+    """uint8/float HWC image(s) -> scaled latents (prompts.py:324-333)."""
+    img = jnp.asarray(image, jnp.float32)
+    if img.ndim == 3:
+        img = img[None]
+    if img.dtype == jnp.uint8 or float(img.max()) > 2.0:
+        img = img / 127.5 - 1.0
+    post = M.vae_encode(bundle.vae_cfg, bundle.vae_params, img)
+    z = post.mode() if key is None else post.sample(key)
+    return z * LATENT_SCALE
+
+
+def txt2img(
+    bundle: ModelBundle,
+    prompt: Union[str, GuidanceSpec],
+    negative_prompt: str = "",
+    cfg: RenderConfig = RenderConfig(),
+    *,
+    key: Optional[jax.Array] = None,
+    noises: Optional[jax.Array] = None,
+    x_T: Optional[jax.Array] = None,
+    depth_mask: Optional[jax.Array] = None,
+    decode: bool = True,
+):
+    """Text to image (manager.process_txt2img semantics, manager.py:52-66).
+
+    Returns (images_uint8 | None, latents)."""
+    spec = (
+        prompt
+        if isinstance(prompt, GuidanceSpec)
+        else make_guidance_spec(bundle, prompt, negative_prompt)
+    )
+    latents = sample_latents(
+        bundle, spec, cfg, x_init=x_T, key=key, noises=noises, depth_mask=depth_mask
+    )
+    images = decode_latents(bundle, latents) if decode else None
+    return images, latents
+
+
+def img2img(
+    bundle: ModelBundle,
+    image: np.ndarray,
+    prompt: Union[str, GuidanceSpec],
+    negative_prompt: str = "",
+    cfg: RenderConfig = RenderConfig(),
+    *,
+    key: Optional[jax.Array] = None,
+    depth_mask: Optional[jax.Array] = None,
+    decode: bool = True,
+):
+    """Image to image via stochastic encode -> partial reverse chain
+    (manager.process_img2img :68 / DiffusionSamplerWrapper.sample_img
+    diffusion.py:113-130 / ddim.py:665-737)."""
+    spec = (
+        prompt
+        if isinstance(prompt, GuidanceSpec)
+        else make_guidance_spec(bundle, prompt, negative_prompt)
+    )
+    key = jax.random.PRNGKey(cfg.seed) if key is None else key
+    k_enc, k_noise, k_steps = jax.random.split(key, 3)
+
+    z0 = encode_image(bundle, image, key=k_enc)
+
+    family, _ = SA.get_sampler(cfg.sampler)
+    if family == "t":
+        itables = S.make_inference_tables(
+            bundle.tables, cfg.steps, eta=cfg.eta, discretize=cfg.discretize
+        )
+        s = itables.num_steps
+        t_enc = int((1 - cfg.denoising_strength) * s)
+        t_enc = max(1, min(t_enc, s))
+        # stochastic encode to timestep t_enc (discrete.py:655-679, with the
+        # mathematically-correct sqrt(a_t) — documented deviation)
+        a_t = float(itables.alphas_cumprod_t[t_enc - 1])
+        noise = jax.random.normal(k_noise, z0.shape, jnp.float32)
+        x_t = np.sqrt(a_t) * z0 + np.sqrt(1 - a_t) * noise
+        latents = sample_latents(
+            bundle, spec, cfg, x_init=x_t, key=k_steps,
+            depth_mask=depth_mask, t_start=t_enc,
+        )
+    else:
+        sigmas = _sigma_schedule(bundle, cfg)
+        t_enc = int((1 - min(cfg.denoising_strength, 0.999)) * cfg.steps)
+        # start index into the sigma schedule (k_diffusion.py:38-46)
+        idx = max(0, cfg.steps - t_enc - 1)
+        noise = jax.random.normal(k_noise, z0.shape, jnp.float32)
+        x_t = z0 + noise * float(sigmas[idx])
+        latents = sample_latents(
+            bundle, spec, cfg, x_init=x_t, key=k_steps,
+            depth_mask=depth_mask, t_start=len(sigmas) - 1 - idx,
+        )
+    images = decode_latents(bundle, latents) if decode else None
+    return images, latents
