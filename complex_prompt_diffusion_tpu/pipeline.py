@@ -244,6 +244,26 @@ def sample_latents(
         x0, _ = sample_fn(eps_fn, x_T, itables, uc_scales, **kwargs)
         return x0
 
+    if family == "solver":
+        # continuous-time family (DPM-Solver / UniPC): CFG handled by the
+        # guidance eps closure; time runs in (0, 1]
+        eps_fn, _ = make_denoiser(
+            unet_eps, spec, gcfg=cfg.guidance, depth_mask=depth_mask
+        )
+        ns = SA.NoiseScheduleVP("discrete", alphas_cumprod=bundle.tables.alphas_cumprod)
+        uc = jnp.asarray(cfg.guidance.guidance_scale, jnp.float32)
+
+        def model_fn(x_in, t_cont):
+            t_disc = (t_cont - 1.0 / ns.total_N) * 1000.0
+            return eps_fn(x_in, t_disc, uc, jnp.asarray(False))
+
+        x_T = (
+            x_init
+            if x_init is not None
+            else jax.random.normal(key_init, shape, jnp.float32)
+        )
+        return sample_fn(model_fn, x_T, ns, steps=cfg.steps)
+
     # sigma family
     sigmas = _sigma_schedule(bundle, cfg)
     if t_start is not None:

@@ -30,6 +30,13 @@ from complex_prompt_diffusion_tpu.samplers.kdiff import (
     sample_lms,
     sample_dpm_fast,
 )
+from complex_prompt_diffusion_tpu.samplers.solver import (
+    NoiseScheduleVP,
+    model_wrapper,
+    sample_dpm_solver,
+)
+from complex_prompt_diffusion_tpu.samplers.unipc import sample_unipc
+from complex_prompt_diffusion_tpu.samplers.repaint import sample_repaint
 from complex_prompt_diffusion_tpu.samplers.registry import (
     SAMPLERS,
     get_sampler,
@@ -50,6 +57,11 @@ __all__ = [
     "sample_dpmpp_2s_ancestral",
     "sample_lms",
     "sample_dpm_fast",
+    "NoiseScheduleVP",
+    "model_wrapper",
+    "sample_dpm_solver",
+    "sample_unipc",
+    "sample_repaint",
     "SAMPLERS",
     "get_sampler",
     "register",

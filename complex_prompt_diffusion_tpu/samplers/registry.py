@@ -16,6 +16,8 @@ from typing import Callable, Dict, Tuple
 
 from complex_prompt_diffusion_tpu.samplers import ddim as _ddim
 from complex_prompt_diffusion_tpu.samplers import kdiff as _k
+from complex_prompt_diffusion_tpu.samplers import solver as _solver
+from complex_prompt_diffusion_tpu.samplers import unipc as _unipc
 
 __all__ = ["SAMPLERS", "get_sampler", "register"]
 
@@ -56,3 +58,9 @@ register("DPM++ 2m", "sigma")(_k.sample_dpmpp_2m)
 register("DPM++ 2s Ancestral", "sigma")(_k.sample_dpmpp_2s_ancestral)
 register("LMS", "sigma")(_k.sample_lms)
 register("DPM Fast", "sigma")(_k.sample_dpm_fast)
+
+# continuous-time solver family (reference registers "dpm_solver",
+# samplers/solver.py:20; UniPC ships unregistered in the reference)
+register("dpm_solver", "solver")(_solver.sample_dpm_solver)
+register("DPM Solver", "solver")(_solver.sample_dpm_solver)
+register("UniPC", "solver")(_unipc.sample_unipc)
