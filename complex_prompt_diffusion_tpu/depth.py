@@ -1,0 +1,256 @@
+"""Depth estimation + depth-mask conditioning.
+
+Parity target: /root/reference/cpd/depth.py (730 lines). Structure:
+
+  * Estimators are pluggable (the reference hard-wires MiDaS/AdaBins/LeReS
+    torch-hub downloads at import time, depth.py:45-124,395-405 — including
+    a gdown fetch on module import). Here: a ``DepthEstimator`` protocol, a
+    network-gated ``TorchHubMidasEstimator``, and a self-contained
+    ``SobelDepthEstimator`` fallback so the conditioning path is always
+    exercisable offline.
+  * Depth -> mask math (the part that feeds the UNet's 5th latent channel
+    and the spatial masks) is exact parity: ``create_depth_mask``
+    (depth.py:204-222: bicubic resize then [-1,1] rescale),
+    ``build_depth_mask`` (:223-240: 1 - mask, quantile shave, rescale),
+    blended ``get_depth`` (:189-198), MiDaS output alignment
+    ((50 - d) / 19, :150-152).
+  * Boosted depth (:339-594): ``double_estimate`` (two-resolution merge) and
+    ``merge_depth``. The reference's pix2pix merge network is an external
+    download; ``merge_depth`` accepts any merge model and falls back to a
+    frequency blend (low-res base + high-res detail) with the same
+    normalization contract.
+
+Everything runs host-side numpy/jax; depth maps are produced once per image,
+not per step.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Protocol, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "DepthEstimator",
+    "SobelDepthEstimator",
+    "TorchHubMidasEstimator",
+    "DepthManager",
+    "create_depth_mask",
+    "build_depth_mask",
+    "get_depth",
+    "double_estimate",
+    "merge_depth",
+    "rescale",
+    "shave",
+]
+
+
+class DepthEstimator(Protocol):
+    def estimate(self, img: np.ndarray) -> np.ndarray:
+        """uint8/float [H, W, 3] image -> depth [H, W] (near = larger)."""
+        ...
+
+
+class SobelDepthEstimator:
+    """Offline fallback: pseudo-depth from blurred luminance + vertical
+    position prior (near objects tend to be lower and high-contrast). Not a
+    real monocular model — a deterministic stand-in that keeps the whole
+    depth-conditioning path testable without downloads."""
+
+    def estimate(self, img: np.ndarray) -> np.ndarray:
+        img = np.asarray(img, np.float32)
+        if img.max() > 2.0:
+            img = img / 255.0
+        grey = img.mean(axis=-1)
+        h, w = grey.shape
+        # vertical prior: bottom of frame nearer
+        prior = np.linspace(0.0, 1.0, h)[:, None] * np.ones((1, w))
+        # local contrast via gradient magnitude (box-blurred)
+        gy, gx = np.gradient(grey)
+        mag = np.sqrt(gx**2 + gy**2)
+        k = max(3, min(h, w) // 16)
+        kernel = np.ones(k) / k
+        mag = np.apply_along_axis(
+            lambda r: np.convolve(r, kernel, mode="same"), 1, mag
+        )
+        mag = np.apply_along_axis(
+            lambda c: np.convolve(c, kernel, mode="same"), 0, mag
+        )
+        d = 0.6 * prior + 0.4 * (mag / (mag.max() + 1e-8))
+        return d.astype(np.float32)
+
+
+class TorchHubMidasEstimator:
+    """MiDaS DPT via torch.hub (requires network / local hub cache).
+    Applies the reference's alignment transform (50 - d) / 19
+    (depth.py:150-152)."""
+
+    def __init__(self, model_type: str = "DPT_Large"):
+        import torch
+
+        self.torch = torch
+        self.model = torch.hub.load("intel-isl/MiDaS", model_type)
+        transforms = torch.hub.load("intel-isl/MiDaS", "transforms")
+        self.transform = (
+            transforms.dpt_transform
+            if "DPT" in model_type
+            else transforms.small_transform
+        )
+        self.model.eval()
+
+    def estimate(self, img: np.ndarray) -> np.ndarray:
+        torch = self.torch
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        with torch.no_grad():
+            batch = self.transform(img)
+            pred = self.model(batch)
+            pred = torch.nn.functional.interpolate(
+                pred.unsqueeze(1), size=img.shape[:2],
+                mode="bicubic", align_corners=False,
+            ).squeeze()
+        depth = pred.cpu().numpy()
+        return ((50.0 - depth) / 19.0).astype(np.float32)
+
+
+def rescale(x):
+    """(x - min) / (max - min) (depth.py:236-237)."""
+    return (x - x.min()) / (x.max() - x.min() + 1e-12)
+
+
+def shave(x, q: float):
+    """Zero out the lowest quantile (depth.py:238-240)."""
+    x = np.array(x, np.float32, copy=True)
+    v = np.quantile(x, q, axis=-1, keepdims=True)
+    x[x < v] = 0.0
+    return x
+
+
+def create_depth_mask(depth_map: np.ndarray, size: Tuple[int, int] = (64, 64)):
+    """Depth map [H, W] -> mask [h, w] in [-1, 1]: bicubic resize then
+    min/max rescale (depth.py:204-222). This is the 5th-channel UNet
+    conditioning input for depth2img (v2-midas-inference.yaml)."""
+    d = jnp.asarray(depth_map, jnp.float32)
+    sized = jax.image.resize(d, size, method="bicubic")
+    lo, hi = jnp.min(sized), jnp.max(sized)
+    return np.asarray(2.0 * (sized - lo) / (hi - lo + 1e-12) - 1.0)
+
+
+def build_depth_mask(
+    img: np.ndarray,
+    estimator: Optional[DepthEstimator] = None,
+    q: float = 0.35,
+    size: Optional[Tuple[int, int]] = None,
+) -> np.ndarray:
+    """Image -> spatial mask with 1 nearest (depth.py:223-240): 1 - depth
+    mask, lowest-``q``-quantile shaved to 0, rescaled to [0, 1]."""
+    estimator = estimator or SobelDepthEstimator()
+    depth = estimator.estimate(img)
+    if size is None:
+        size = (depth.shape[0] // 8, depth.shape[1] // 8)
+    mask = 1.0 - create_depth_mask(depth, size=size)
+    return rescale(shave(mask, q))
+
+
+def get_depth(
+    img: np.ndarray,
+    estimators: Tuple[DepthEstimator, ...],
+    weights: Optional[Tuple[float, ...]] = None,
+) -> np.ndarray:
+    """Blend multiple depth estimates (depth.py:189-198 blends MiDaS and
+    AdaBins with midas_weight)."""
+    if weights is None:
+        weights = tuple([1.0 / len(estimators)] * len(estimators))
+    out = None
+    for est, w in zip(estimators, weights):
+        d = est.estimate(img)
+        out = d * w if out is None else out + d * w
+    return out
+
+
+class DepthManager:
+    """Reference DepthManager/MidasDepthManager (depth.py:242-326) with a
+    pluggable estimator."""
+
+    def __init__(
+        self,
+        estimator: Optional[DepthEstimator] = None,
+        q: float = 0.0,
+        size: Tuple[int, int] = (64, 64),
+    ):
+        self.estimator = estimator or SobelDepthEstimator()
+        self.q = q
+        self.size = size
+
+    def apply_depth(self, img) -> np.ndarray:
+        return self.estimator.estimate(img)
+
+    def get(self, img) -> np.ndarray:
+        mask = 1.0 - create_depth_mask(self.apply_depth(img), size=self.size)
+        return rescale(shave(mask, self.q))
+
+    def conditioning_channel(self, img) -> jax.Array:
+        """[h, w, 1] depth channel for the depth2img UNet (concatenated to
+        the latent before factor tiling; ddim.py:274-276)."""
+        d = create_depth_mask(self.apply_depth(img), size=self.size)
+        return jnp.asarray(d)[..., None]
+
+
+# --------------------------------------------------------------------------
+# Boosted depth (two-resolution merging; depth.py:339-594)
+# --------------------------------------------------------------------------
+
+
+def _resize(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    return np.asarray(
+        jax.image.resize(jnp.asarray(img, jnp.float32), size, method="bicubic")
+    )
+
+
+def merge_depth(
+    low_res: np.ndarray,
+    high_res: np.ndarray,
+    merge_size: int = 1024,
+    merge_model: Optional[Callable] = None,
+) -> np.ndarray:
+    """Merge a coarse and a fine depth estimate (global_merge,
+    depth.py:339-380). With a merge model (the reference's pix2pix net):
+    normalized inputs -> model -> [0,1] rescale. Without: frequency blend —
+    the low-res estimate provides the base, the high-res one the detail
+    residual (high minus its own blur)."""
+    e1 = rescale(_resize(low_res, (merge_size, merge_size)))
+    e2 = rescale(_resize(high_res, (merge_size, merge_size)))
+    if merge_model is not None:
+        out = merge_model(e1, e2)
+        out = (np.asarray(out) + 1.0) / 2.0
+        return rescale(out)
+    # frequency blend fallback
+    blur = _resize(_resize(e2, (merge_size // 8, merge_size // 8)), (merge_size, merge_size))
+    detail = e2 - blur
+    return rescale(e1 + detail)
+
+
+def double_estimate(
+    img: np.ndarray,
+    estimator: DepthEstimator,
+    size1: int,
+    size2: int,
+    merge_size: int = 1024,
+    merge_model: Optional[Callable] = None,
+) -> np.ndarray:
+    """Estimate at two resolutions and merge (doubleestimate,
+    depth.py:489-516)."""
+    img = np.asarray(img, np.float32)
+
+    def resize_img(n):
+        shape = (n, n) if img.ndim == 2 else (n, n, img.shape[-1])
+        return np.asarray(
+            jax.image.resize(jnp.asarray(img), shape, method="bicubic")
+        )
+
+    e1 = estimator.estimate(resize_img(size1))
+    e2 = estimator.estimate(resize_img(size2))
+    return merge_depth(e1, e2, merge_size=merge_size, merge_model=merge_model)

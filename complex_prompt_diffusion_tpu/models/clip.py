@@ -24,7 +24,20 @@ import jax.numpy as jnp
 
 from complex_prompt_diffusion_tpu.models import layers as L
 
-__all__ = ["CLIPTextConfig", "init_clip_text", "clip_text_apply"]
+__all__ = [
+    "CLIPTextConfig",
+    "init_clip_text",
+    "clip_text_apply",
+    "CLIPVisionConfig",
+    "init_clip_vision",
+    "clip_vision_apply",
+    "CLIP_IMAGE_MEAN",
+    "CLIP_IMAGE_STD",
+]
+
+# CLIP preprocessing constants (reference ddim.py:62-66)
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,3 +190,118 @@ def clip_text_apply(
             pooled = L.linear(params["text_projection"], pooled)
         return pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
     return x.astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Vision tower (guide CLIP image encoder; FrozenClipImageEmbedder,
+# embedder.py:952-983, and the CLIP-guidance image path ddim.py:488-502)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 32
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    projection_dim: int = 512
+    activation: str = "quick_gelu"
+    dtype: str = "float32"
+
+    @staticmethod
+    def vit_b32() -> "CLIPVisionConfig":
+        """openai/clip-vit-base-patch32 — the 512-dim guide CLIP the
+        reference uses for gradient guidance (diffusion.py:24-26)."""
+        return CLIPVisionConfig()
+
+    @staticmethod
+    def vit_l14() -> "CLIPVisionConfig":
+        return CLIPVisionConfig(
+            patch_size=14, hidden_size=1024, num_layers=24, num_heads=16,
+            projection_dim=768,
+        )
+
+    @staticmethod
+    def tiny() -> "CLIPVisionConfig":
+        return CLIPVisionConfig(
+            image_size=32, patch_size=8, hidden_size=64, num_layers=2,
+            num_heads=4, projection_dim=32,
+        )
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def init_clip_vision(key, cfg: CLIPVisionConfig):
+    d = cfg.hidden_size
+    rng = L.as_np_rng(key)
+    params = {
+        "class_embedding": jnp.asarray(rng.normal(size=(d,)) * 0.02, jnp.float32),
+        "patch_embedding": jnp.asarray(
+            rng.normal(size=(cfg.patch_size, cfg.patch_size, 3, d)) * 0.02,
+            jnp.float32,
+        ),
+        "position_embedding": jnp.asarray(
+            rng.normal(size=(cfg.num_patches + 1, d)) * 0.01, jnp.float32
+        ),
+        "pre_ln": L.init_layer_norm(d),
+        "layers": [],
+        "post_ln": L.init_layer_norm(d),
+        "visual_projection": L.init_linear(rng, d, cfg.projection_dim, bias=False),
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append(
+            {
+                "ln1": L.init_layer_norm(d),
+                "q": L.init_linear(rng, d, d),
+                "k": L.init_linear(rng, d, d),
+                "v": L.init_linear(rng, d, d),
+                "out": L.init_linear(rng, d, d),
+                "ln2": L.init_layer_norm(d),
+                "fc1": L.init_linear(rng, d, d * cfg.mlp_ratio),
+                "fc2": L.init_linear(rng, d * cfg.mlp_ratio, d),
+            }
+        )
+    return params
+
+
+def clip_vision_apply(
+    cfg: CLIPVisionConfig, params, images: jax.Array, *, project: bool = True
+):
+    """Encode images [N, H, W, 3] (pre-normalized with CLIP_IMAGE_MEAN/STD)
+    into pooled embeddings [N, projection_dim] (get_image_features
+    semantics). Differentiable — CLIP guidance takes jax.grad through it."""
+    n = images.shape[0]
+    dtype = cfg.compute_dtype
+    x = jax.lax.conv_general_dilated(
+        images.astype(dtype),
+        params["patch_embedding"].astype(dtype),
+        (cfg.patch_size, cfg.patch_size),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = x.reshape(n, -1, cfg.hidden_size)
+    cls = jnp.broadcast_to(
+        params["class_embedding"].astype(dtype), (n, 1, cfg.hidden_size)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["position_embedding"][None].astype(dtype)
+    x = L.layer_norm(params["pre_ln"], x)
+
+    zero_bias = jnp.zeros((), jnp.float32)
+    for p in params["layers"]:
+        x = x + _attn(p, L.layer_norm(p["ln1"], x), cfg.num_heads, zero_bias)
+        h = L.linear(p["fc1"], L.layer_norm(p["ln2"], x))
+        x = x + L.linear(p["fc2"], _act(cfg, h))
+
+    pooled = L.layer_norm(params["post_ln"], x[:, 0])
+    if project and "visual_projection" in params:
+        pooled = L.linear(params["visual_projection"], pooled)
+    return pooled
