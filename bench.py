@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: the 50-step SD UNet scan is expensive to compile
+# on this host; cache across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpd")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     ap = argparse.ArgumentParser()

