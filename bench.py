@@ -70,27 +70,32 @@ def main():
     spec = GuidanceSpec.single(cond, uncond)
     gcfg = GuidanceConfig(guidance_scale=7.5)
 
-    def unet_eps(x, t, ctx):
-        return M.unet_apply(unet_cfg, params, x, t, ctx)
-
-    eps_fn, _ = make_denoiser(unet_eps, spec, gcfg=gcfg)
     uc_scales = jnp.asarray(make_uc_scale_schedule(gcfg, s), jnp.float32)
 
+    # params threaded as a jit ARG — closing over them would embed 1.7GB of
+    # weight constants into the XLA module and blow up compile time
     @jax.jit
-    def run(x_T, k):
+    def run(p, x_T, k):
+        def unet_eps(x, t, ctx):
+            return M.unet_apply(unet_cfg, p, x, t, ctx)
+
+        eps_fn, _ = make_denoiser(unet_eps, spec, gcfg=gcfg)
         x0, _ = SA.sample_ddim(eps_fn, x_T, itables, uc_scales, key=k)
         return x0
 
     shape = (args.batch, h, w, 4)
-    x_T = jax.random.normal(jax.random.fold_in(key, 3), shape, jnp.float32)
 
-    # compile + warmup
-    run(x_T, jax.random.PRNGKey(1)).block_until_ready()
+    # compile + warmup (x_T donated: re-make per call)
+    def make_xT(i):
+        return jax.random.normal(jax.random.fold_in(key, 100 + i), shape, jnp.float32)
+
+    run(params, make_xT(0), jax.random.PRNGKey(1)).block_until_ready()
 
     times = []
     for i in range(args.repeats):
+        x_T = make_xT(1 + i)
         t0 = time.perf_counter()
-        run(x_T, jax.random.PRNGKey(2 + i)).block_until_ready()
+        run(params, x_T, jax.random.PRNGKey(2 + i)).block_until_ready()
         times.append(time.perf_counter() - t0)
     dt = min(times)
 

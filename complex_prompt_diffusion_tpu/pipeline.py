@@ -52,6 +52,8 @@ class ModelBundle:
     tables: S.DiffusionTables
     parameterization: str = "eps"
     clip_layer: str = "last"  # "penultimate" for SD2.x
+    # jitted sampler cache, keyed by (RenderConfig, t_start, depth, noises)
+    _jit_cache: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @staticmethod
     def from_checkpoint(path: str, vocab_path: Optional[str] = None) -> "ModelBundle":
@@ -196,6 +198,101 @@ def _sigma_schedule(bundle: ModelBundle, cfg: RenderConfig) -> np.ndarray:
     )
 
 
+def _build_sampler_fn(bundle: ModelBundle, cfg: RenderConfig, t_start, has_depth, has_noises):
+    """Build and jit the sampling core for a (bundle, cfg) pair.
+
+    CRITICAL compile-time property: ``unet_params`` is threaded through the
+    jit as an ARGUMENT. A closure would bake the 860M-param pytree into the
+    XLA module as literal constants, blowing compile time from ~90s to >25
+    minutes (measured) and doubling HBM. The returned callable is cached on
+    the bundle keyed by the static config.
+    """
+    family, sample_fn = SA.get_sampler(cfg.sampler)
+
+    if family == "t":
+        itables = S.make_inference_tables(
+            bundle.tables, cfg.steps, eta=cfg.eta, discretize=cfg.discretize
+        )
+        s = itables.num_steps
+        uc_scales = jnp.asarray(make_uc_scale_schedule(cfg.guidance, s), jnp.float32)
+        blur_flags = jnp.asarray(make_uc_blur_schedule(cfg.guidance, s))
+
+        def run(unet_params, spec, x_T, key, noises, depth_mask):
+            def unet_eps(x, t, ctx):
+                return M.unet_apply(bundle.unet_cfg, unet_params, x, t, ctx)
+
+            eps_fn, _ = make_denoiser(
+                unet_eps, spec, gcfg=cfg.guidance, depth_mask=depth_mask
+            )
+            kwargs = dict(
+                key=key,
+                noises=noises,
+                uc_blur_flags=blur_flags,
+                temperature=cfg.temperature,
+                clip_sample=cfg.clip_sample,
+                clip_sample_thresh=cfg.clip_sample_thresh,
+            )
+            if sample_fn is SA.sample_ddim and t_start is not None:
+                kwargs["t_start"] = t_start
+            x0, _ = sample_fn(eps_fn, x_T, itables, uc_scales, **kwargs)
+            return x0
+
+        return jax.jit(run, donate_argnums=(2,))
+
+    if family == "solver":
+        ns = SA.NoiseScheduleVP(
+            "discrete", alphas_cumprod=bundle.tables.alphas_cumprod
+        )
+        uc = jnp.asarray(cfg.guidance.guidance_scale, jnp.float32)
+
+        def run(unet_params, spec, x_T, key, noises, depth_mask):
+            def unet_eps(x, t, ctx):
+                return M.unet_apply(bundle.unet_cfg, unet_params, x, t, ctx)
+
+            eps_fn, _ = make_denoiser(
+                unet_eps, spec, gcfg=cfg.guidance, depth_mask=depth_mask
+            )
+
+            def model_fn(x_in, t_cont):
+                t_disc = (t_cont - 1.0 / ns.total_N) * 1000.0
+                return eps_fn(x_in, t_disc, uc, jnp.asarray(False))
+
+            return sample_fn(model_fn, x_T, ns, steps=cfg.steps)
+
+        return jax.jit(run, donate_argnums=(2,))
+
+    # sigma family: sigma schedules / churn gammas / LMS coeffs are
+    # host-side numpy, so they stay closed over (tiny constants)
+    sigmas = _sigma_schedule(bundle, cfg)
+    if t_start is not None:
+        sigmas = sigmas[len(sigmas) - 1 - t_start :]
+    n = len(sigmas) - 1
+    uc_scales = make_uc_scale_schedule(cfg.guidance, n)
+    kw = {}
+    if cfg.sampler.lower() in ("euler", "huen", "heun", "dpm2"):
+        kw.update(
+            s_churn=cfg.s_churn, s_tmin=cfg.s_tmin,
+            s_tmax=cfg.s_tmax, s_noise=cfg.s_noise,
+        )
+    if "ancestral" in cfg.sampler.lower():
+        kw["eta"] = cfg.eta if cfg.eta else 1.0
+
+    def run(unet_params, spec, x, key, noises, depth_mask):
+        def unet_eps(x_, t, ctx):
+            return M.unet_apply(bundle.unet_cfg, unet_params, x_, t, ctx)
+
+        _, den_fn = make_denoiser(
+            unet_eps, spec, gcfg=cfg.guidance,
+            model_sigmas=jnp.asarray(bundle.tables.sigmas),
+            parameterization=bundle.parameterization,
+            depth_mask=depth_mask,
+        )
+        x0, _ = sample_fn(den_fn, x, sigmas, uc_scales, key=key, noises=noises, **kw)
+        return x0
+
+    return jax.jit(run, donate_argnums=(2,))
+
+
 def sample_latents(
     bundle: ModelBundle,
     spec: GuidanceSpec,
@@ -208,90 +305,31 @@ def sample_latents(
     t_start: Optional[int] = None,
 ) -> jax.Array:
     """Run the configured sampler; returns final latents [B, h, w, 4]
-    (unscaled model space)."""
+    (unscaled model space). The whole chain is one jit'd program, cached on
+    the bundle per RenderConfig."""
     family, sample_fn = SA.get_sampler(cfg.sampler)
     key = jax.random.PRNGKey(cfg.seed) if key is None else key
     key_init, key_steps = jax.random.split(key)
     shape = (cfg.batch_size,) + cfg.latent_shape
 
-    unet_eps = _unet_eps_fn(bundle)
+    cache_key = (cfg, t_start, depth_mask is not None, noises is not None)
+    run = bundle._jit_cache.get(cache_key)
+    if run is None:
+        run = _build_sampler_fn(
+            bundle, cfg, t_start, depth_mask is not None, noises is not None
+        )
+        bundle._jit_cache[cache_key] = run
 
-    if family == "t":
-        itables = S.make_inference_tables(
-            bundle.tables, cfg.steps, eta=cfg.eta, discretize=cfg.discretize
-        )
-        s = itables.num_steps
-        eps_fn, _ = make_denoiser(
-            unet_eps, spec, gcfg=cfg.guidance, depth_mask=depth_mask
-        )
-        uc_scales = make_uc_scale_schedule(cfg.guidance, s)
-        blur_flags = jnp.asarray(make_uc_blur_schedule(cfg.guidance, s))
-        x_T = (
-            x_init
-            if x_init is not None
-            else jax.random.normal(key_init, shape, jnp.float32)
-        )
-        kwargs = dict(
-            key=key_steps,
-            noises=noises,
-            uc_blur_flags=blur_flags,
-            temperature=cfg.temperature,
-            clip_sample=cfg.clip_sample,
-            clip_sample_thresh=cfg.clip_sample_thresh,
-        )
-        if sample_fn is SA.sample_ddim and t_start is not None:
-            kwargs["t_start"] = t_start
-        x0, _ = sample_fn(eps_fn, x_T, itables, uc_scales, **kwargs)
-        return x0
-
-    if family == "solver":
-        # continuous-time family (DPM-Solver / UniPC): CFG handled by the
-        # guidance eps closure; time runs in (0, 1]
-        eps_fn, _ = make_denoiser(
-            unet_eps, spec, gcfg=cfg.guidance, depth_mask=depth_mask
-        )
-        ns = SA.NoiseScheduleVP("discrete", alphas_cumprod=bundle.tables.alphas_cumprod)
-        uc = jnp.asarray(cfg.guidance.guidance_scale, jnp.float32)
-
-        def model_fn(x_in, t_cont):
-            t_disc = (t_cont - 1.0 / ns.total_N) * 1000.0
-            return eps_fn(x_in, t_disc, uc, jnp.asarray(False))
-
-        x_T = (
-            x_init
-            if x_init is not None
-            else jax.random.normal(key_init, shape, jnp.float32)
-        )
-        return sample_fn(model_fn, x_T, ns, steps=cfg.steps)
-
-    # sigma family
-    sigmas = _sigma_schedule(bundle, cfg)
-    if t_start is not None:
-        sigmas = sigmas[len(sigmas) - 1 - t_start :]
-    n = len(sigmas) - 1
-    _, den_fn = make_denoiser(
-        unet_eps,
-        spec,
-        gcfg=cfg.guidance,
-        model_sigmas=jnp.asarray(bundle.tables.sigmas),
-        parameterization=bundle.parameterization,
-        depth_mask=depth_mask,
-    )
-    uc_scales = make_uc_scale_schedule(cfg.guidance, n)
-    if x_init is None:
-        x = jax.random.normal(key_init, shape, jnp.float32) * float(sigmas[0])
+    if x_init is not None:
+        x_T = x_init
     else:
-        x = x_init
-    kw = dict(key=key_steps, noises=noises)
-    if cfg.sampler.lower() in ("euler", "huen", "heun", "dpm2"):
-        kw.update(
-            s_churn=cfg.s_churn, s_tmin=cfg.s_tmin,
-            s_tmax=cfg.s_tmax, s_noise=cfg.s_noise,
-        )
-    if "ancestral" in cfg.sampler.lower():
-        kw["eta"] = cfg.eta if cfg.eta else 1.0
-    x0, _ = sample_fn(den_fn, x, sigmas, uc_scales, **kw)
-    return x0
+        x_T = jax.random.normal(key_init, shape, jnp.float32)
+        if family == "sigma":
+            sigmas = _sigma_schedule(bundle, cfg)
+            if t_start is not None:
+                sigmas = sigmas[len(sigmas) - 1 - t_start :]
+            x_T = x_T * float(sigmas[0])
+    return run(bundle.unet_params, spec, x_T, key_steps, noises, depth_mask)
 
 
 def decode_latents(bundle: ModelBundle, latents: jax.Array) -> np.ndarray:
