@@ -1,0 +1,113 @@
+"""Native (C++) tokenizer vs pure-Python BPE parity.
+
+Builds a synthetic-but-complete byte-level vocab (every byte unit and its
+</w> form + a few merges), instantiates both implementations from the same
+files, and checks identical ids on a corpus of prompts.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from complex_prompt_diffusion_tpu.prompts.tokenizer import (
+    ClipBPETokenizer,
+    bytes_to_unicode,
+)
+from complex_prompt_diffusion_tpu.prompts.tokenizer_native import (
+    NativeClipTokenizer,
+    load_library,
+)
+
+MERGES = [
+    ("t", "h"),
+    ("th", "e</w>"),
+    ("c", "a"),
+    ("ca", "t</w>"),
+    ("d", "o"),
+    ("do", "g</w>"),
+    ("a", "n"),
+    ("an", "d</w>"),
+    ("1", "2"),  # digits never merge (single-digit tokens) — exercise anyway
+    ("o", "f</w>"),
+]
+
+
+@pytest.fixture(scope="module")
+def vocab_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vocab")
+    units = list(bytes_to_unicode().values())
+    vocab = units + [u + "</w>" for u in units]
+    vocab += ["".join(a) + ("" if "</w>" in a[1] else "") for a in []]
+    for a, b in MERGES:
+        vocab.append(a + b)
+    vocab += ["<|startoftext|>", "<|endoftext|>"]
+    vocab_json = {tok: i for i, tok in enumerate(vocab)}
+    (d / "vocab.json").write_text(json.dumps(vocab_json))
+    (d / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in MERGES)
+    )
+    return str(d / "vocab.json"), str(d / "merges.txt")
+
+
+@pytest.fixture(scope="module")
+def py_tok(vocab_files):
+    return ClipBPETokenizer(vocab_files[0], vocab_files[1])
+
+
+@pytest.fixture(scope="module")
+def native_tok(py_tok):
+    if load_library() is None:
+        pytest.skip("native tokenizer library unavailable (no compiler?)")
+    return NativeClipTokenizer(py_tok)
+
+
+PROMPTS = [
+    "the cat and the dog",
+    "The CAT!",
+    "a photo of 123 cats, high quality",
+    "it's the dog's toy",
+    "  spaces   everywhere   ",
+    "punctuation!!! ... (parens) [brackets]",
+    "mixed42numbers7and-dashes_underscores",
+    "",
+    "café naïve über",  # non-ASCII
+]
+
+
+class TestNativeParity:
+    @pytest.mark.parametrize("text", PROMPTS)
+    def test_ids_match_python(self, py_tok, native_tok, text):
+        assert native_tok.encode_text(text) == py_tok.encode_text(text), text
+
+    def test_sequence_assembly_matches(self, py_tok, native_tok):
+        a = py_tok(["the cat and the dog"] * 2)
+        b = native_tok(["the cat and the dog"] * 2)
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (2, 77)
+
+    def test_bos_eos_ids(self, py_tok, native_tok):
+        assert native_tok.bos_id == py_tok.bos_id
+        assert native_tok.eos_id == py_tok.eos_id
+
+    def test_native_is_faster(self, py_tok, native_tok):
+        import time
+
+        text = "a detailed photo of the cat and the dog " * 5
+        # warm caches
+        py_tok.encode_text(text)
+        native_tok.encode_text(text)
+        t0 = time.perf_counter()
+        for i in range(200):
+            py_tok.cache.clear()
+            py_tok.encode_text(text + str(i))
+        t_py = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(200):
+            native_tok.encode_text(text + str(i))
+        t_native = time.perf_counter() - t0
+        # informative: native should not be slower
+        assert t_native < t_py * 1.5, (t_native, t_py)
