@@ -1,0 +1,83 @@
+"""Log-likelihood estimation via the probability-flow ODE.
+
+Parity target: /root/reference/cpd/samplers/log.py:18-53 ("Log" sampler):
+integrate the Karras ODE from sigma_min to sigma_max while accumulating the
+Hutchinson trace estimate of the divergence, then add the Gaussian prior
+log-prob at sigma_max.
+
+JAX redesign: the reference needs torchdiffeq + autograd.grad for the
+vector-Jacobian trace; here the divergence is one ``jax.jvp`` and the
+integrator is a fixed-grid RK4 ``lax.scan`` (the reference's dopri5 is
+adaptive; RK4 on a log-sigma grid reaches comparable accuracy for these
+smooth ODEs at a known, static cost — and jits cleanly).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["log_likelihood"]
+
+
+def log_likelihood(
+    den_fn: Callable,
+    x: jax.Array,
+    sigma_min: float,
+    sigma_max: float,
+    *,
+    key: jax.Array,
+    steps: int = 100,
+    uc_scale: float = 1.0,
+):
+    """Estimate log p(x) in nats per sample [B].
+
+    den_fn(x, sigma, uc_scale) -> denoised prediction. Integrates
+    d = (x - denoised)/sigma from sigma_min to sigma_max on a log-spaced
+    grid with RK4, Hutchinson probe v in {-1, +1}.
+    """
+    b = x.shape[0]
+    dim = int(np.prod(x.shape[1:]))
+    v = jax.random.rademacher(key, x.shape, jnp.float32)
+    uc = jnp.asarray(uc_scale, jnp.float32)
+
+    sigmas = jnp.asarray(
+        np.exp(np.linspace(math.log(max(sigma_min, 1e-3)), math.log(sigma_max), steps + 1)),
+        jnp.float32,
+    )
+
+    def ode_fn(x, sigma):
+        def d_of(xx):
+            return (xx - den_fn(xx, sigma, uc)) / sigma
+
+        d, jvp_v = jax.jvp(d_of, (x,), (v,))
+        div = jnp.sum((v * jvp_v).reshape(b, -1), axis=1)
+        return d, div
+
+    def body(carry, i):
+        x, ll = carry
+        s0, s1 = sigmas[i], sigmas[i + 1]
+        h = s1 - s0
+        # RK4 on the augmented (x, ll) system
+        d1, g1 = ode_fn(x, s0)
+        d2, g2 = ode_fn(x + 0.5 * h * d1, s0 + 0.5 * h)
+        d3, g3 = ode_fn(x + 0.5 * h * d2, s0 + 0.5 * h)
+        d4, g4 = ode_fn(x + h * d3, s1)
+        x = x + (h / 6.0) * (d1 + 2 * d2 + 2 * d3 + d4)
+        ll = ll + (h / 6.0) * (g1 + 2 * g2 + 2 * g3 + g4)
+        return (x, ll), None
+
+    (latent, delta_ll), _ = jax.lax.scan(
+        body, (x, jnp.zeros((b,), jnp.float32)), jnp.arange(steps)
+    )
+    # N(0, sigma_max^2) prior (log.py:50-51)
+    ll_prior = jnp.sum(
+        (-0.5 * (latent / sigma_max) ** 2
+         - math.log(sigma_max) - 0.5 * math.log(2 * math.pi)).reshape(b, -1),
+        axis=1,
+    )
+    return ll_prior + delta_ll

@@ -18,6 +18,8 @@ from complex_prompt_diffusion_tpu.samplers import ddim as _ddim
 from complex_prompt_diffusion_tpu.samplers import kdiff as _k
 from complex_prompt_diffusion_tpu.samplers import solver as _solver
 from complex_prompt_diffusion_tpu.samplers import unipc as _unipc
+from complex_prompt_diffusion_tpu.samplers import dpm_adaptive as _dpma
+from complex_prompt_diffusion_tpu.samplers import loglik as _loglik
 
 __all__ = ["SAMPLERS", "get_sampler", "register"]
 
@@ -58,6 +60,8 @@ register("DPM++ 2m", "sigma")(_k.sample_dpmpp_2m)
 register("DPM++ 2s Ancestral", "sigma")(_k.sample_dpmpp_2s_ancestral)
 register("LMS", "sigma")(_k.sample_lms)
 register("DPM Fast", "sigma")(_k.sample_dpm_fast)
+register("DPM Adaptive", "sigma")(_dpma.sample_dpm_adaptive)
+register("Log", "sigma")(_loglik.log_likelihood)  # log-likelihood estimator
 
 # continuous-time solver family (reference registers "dpm_solver",
 # samplers/solver.py:20; UniPC ships unregistered in the reference)
