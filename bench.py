@@ -89,13 +89,18 @@ def main():
     def make_xT(i):
         return jax.random.normal(jax.random.fold_in(key, 100 + i), shape, jnp.float32)
 
-    run(params, make_xT(0), jax.random.PRNGKey(1)).block_until_ready()
+    def materialize(out):
+        # this backend's block_until_ready does not actually block; force a
+        # host transfer so timings cover real device execution
+        return float(jnp.float32(out.mean()))
+
+    materialize(run(params, make_xT(0), jax.random.PRNGKey(1)))
 
     times = []
     for i in range(args.repeats):
         x_T = make_xT(1 + i)
         t0 = time.perf_counter()
-        run(params, x_T, jax.random.PRNGKey(2 + i)).block_until_ready()
+        materialize(run(params, x_T, jax.random.PRNGKey(2 + i)))
         times.append(time.perf_counter() - t0)
     dt = min(times)
 

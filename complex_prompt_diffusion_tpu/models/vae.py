@@ -270,3 +270,86 @@ def vae_decode(cfg: VAEConfig, params, z) -> jax.Array:
             h = L.conv2d(up["upsample"], L.upsample_nearest2x(h))
     h = L.group_norm_silu_p(p["norm_out"], h, eps=1e-6)
     return L.conv2d(p["conv_out"], h).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# VQModel (the VQ first stage; autoencoder.py:511-778)
+# --------------------------------------------------------------------------
+
+
+def init_vq_quantizer(key, n_embed: int, embed_dim: int):
+    """Codebook init, uniform(-1/n, 1/n) (taming VectorQuantizer convention,
+    referenced at autoencoder.py:9)."""
+    rng = L.as_np_rng(key)
+    import numpy as np
+
+    return {
+        "embedding": jnp.asarray(
+            rng.uniform(-1.0 / n_embed, 1.0 / n_embed, (n_embed, embed_dim)),
+            jnp.float32,
+        )
+    }
+
+
+def vq_quantize(params, z, beta: float = 0.25):
+    """Nearest-codebook quantization with straight-through gradients.
+
+    z: [N, h, w, C]. Returns (z_q, loss, indices) — the VectorQuantizer2
+    contract used by VQModel.encode (autoencoder.py:560-570).
+    """
+    emb = params["embedding"]  # [K, C]
+    flat = z.reshape(-1, z.shape[-1])
+    d = (
+        jnp.sum(flat**2, axis=1, keepdims=True)
+        - 2.0 * flat @ emb.T
+        + jnp.sum(emb**2, axis=1)[None]
+    )
+    idx = jnp.argmin(d, axis=1)
+    z_q = emb[idx].reshape(z.shape)
+    loss = beta * jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2) + jnp.mean(
+        (z_q - jax.lax.stop_gradient(z)) ** 2
+    )
+    z_q = z + jax.lax.stop_gradient(z_q - z)  # straight-through
+    return z_q, loss, idx.reshape(z.shape[:-1])
+
+
+def init_vq_model(key, cfg: VAEConfig, n_embed: int = 16384):
+    """VQModel = Encoder + quant_conv + VectorQuantizer + post_quant_conv +
+    Decoder (autoencoder.py:511-555). Uses double_z=False semantics."""
+    cfg_vq = dataclasses.replace(cfg, double_z=False)
+    params = init_vae(jax.random.PRNGKey(0) if key is None else key, cfg_vq)
+    rng = L.as_np_rng(key)
+    params["quant_conv"] = L.init_conv(rng, cfg.z_channels, cfg.embed_dim, 1)
+    params["post_quant_conv"] = L.init_conv(rng, cfg.embed_dim, cfg.z_channels, 1)
+    params["quantize"] = init_vq_quantizer(rng, n_embed, cfg.embed_dim)
+    return params
+
+
+def vq_encode(cfg: VAEConfig, params, x, quantize: bool = True):
+    """VQModel.encode (autoencoder.py:560-570): encoder -> quant_conv ->
+    (optionally) quantize. Returns (z_q, emb_loss, indices) or pre-quant h."""
+    cfg_vq = dataclasses.replace(cfg, double_z=False)
+    x = x.astype(cfg.compute_dtype)
+    p = params["encoder"]
+    h = L.conv2d(p["conv_in"], x)
+    for level, down in enumerate(p["down"]):
+        for i, blk in enumerate(down["block"]):
+            h = _resnet(blk, h)
+            if down["attn"]:
+                h = _attn_block(down["attn"][i], h)
+        if "downsample" in down:
+            h = _downsample(down["downsample"], h)
+    h = _resnet(p["mid"]["block_1"], h)
+    h = _attn_block(p["mid"]["attn_1"], h)
+    h = _resnet(p["mid"]["block_2"], h)
+    h = L.group_norm_silu_p(p["norm_out"], h, eps=1e-6)
+    h = L.conv2d(p["conv_out"], h)
+    h = L.conv2d(params["quant_conv"], h).astype(jnp.float32)
+    if not quantize:
+        return h
+    return vq_quantize(params["quantize"], h)
+
+
+def vq_decode(cfg: VAEConfig, params, z_q):
+    """VQModel.decode (autoencoder.py:572-580)."""
+    return vae_decode(cfg, params, z_q)
