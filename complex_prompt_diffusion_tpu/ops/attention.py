@@ -131,6 +131,7 @@ def _flash_attention_bhsd(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(q, k, v)
@@ -153,8 +154,8 @@ def flash_attention(
     v: jax.Array,
     scale: Optional[float] = None,
     *,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 2048,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
 ) -> jax.Array:

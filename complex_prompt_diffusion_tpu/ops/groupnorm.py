@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["group_norm", "group_norm_silu"]
 
 # Per-sample VMEM budget for the single-pass kernel (bytes of f32 activation).
-_VMEM_BUDGET = 8 * 1024 * 1024
+_VMEM_BUDGET = 16 * 1024 * 1024
 
 
 def _gn_kernel(x_ref, gamma_ref, beta_ref, c2g_ref, o_ref, *, eps, n_per_group, silu):
@@ -33,18 +33,24 @@ def _gn_kernel(x_ref, gamma_ref, beta_ref, c2g_ref, o_ref, *, eps, n_per_group, 
     x = x_ref[0].astype(jnp.float32)  # [HW, C]
     c2g = c2g_ref[...]  # [C, G] one-hot (f32)
 
+    # two-pass stats (x is VMEM-resident, the second pass is cheap): the
+    # E[x^2]-E[x]^2 shortcut loses ~3 digits to cancellation in f32
     s1 = jnp.sum(x, axis=0, keepdims=True)  # [1, C]
-    s2 = jnp.sum(x * x, axis=0, keepdims=True)
-    g1 = jnp.dot(s1, c2g, preferred_element_type=jnp.float32)  # [1, G]
-    g2 = jnp.dot(s2, c2g, preferred_element_type=jnp.float32)
+    g1 = jnp.dot(s1, c2g, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # [1, G]
     mean_g = g1 / n_per_group
-    var_g = g2 / n_per_group - mean_g * mean_g
+    mean_c = jnp.dot(mean_g, c2g.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    xc = x - mean_c
+    s2 = jnp.sum(xc * xc, axis=0, keepdims=True)
+    g2 = jnp.dot(s2, c2g, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    var_g = g2 / n_per_group
     rstd_g = jax.lax.rsqrt(var_g + eps)
-    # broadcast back to channels: [1, G] @ [G, C]
-    mean_c = jnp.dot(mean_g, c2g.T, preferred_element_type=jnp.float32)
-    rstd_c = jnp.dot(rstd_g, c2g.T, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd_g, c2g.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
 
-    y = (x - mean_c) * rstd_c
+    y = xc * rstd_c
     y = y * gamma_ref[...].astype(jnp.float32) + beta_ref[...].astype(jnp.float32)
     if silu:
         y = y * jax.nn.sigmoid(y)
@@ -77,6 +83,9 @@ def _gn_pallas(x, gamma, beta, *, num_groups, eps, silu, interpret):
         out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # one f32 pass over the sample + temps; the 16MB default scoped
+            # limit is conservative (v5e has 128MB VMEM)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xr, gamma.reshape(1, c), beta.reshape(1, c), c2g)
@@ -102,7 +111,7 @@ def _dispatch(x, gamma, beta, num_groups, eps, silu, use_pallas, interpret=False
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n, h, w, c = x.shape
-    fits = h * w * c * 4 <= _VMEM_BUDGET and c % 128 == 0
+    fits = h * w * c * 4 <= _VMEM_BUDGET
     if (use_pallas and fits) or interpret:
         return _gn_pallas(
             x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu,

@@ -1,0 +1,231 @@
+"""Host-side auxiliary-subsystem tests: noise, depth, animation keyframes,
+warps, metrics, YAML config, utils."""
+
+import numpy as np
+import pytest
+
+from complex_prompt_diffusion_tpu import animation as A
+from complex_prompt_diffusion_tpu import depth as D
+from complex_prompt_diffusion_tpu import noise as N
+from complex_prompt_diffusion_tpu.utils import metrics as MET
+from complex_prompt_diffusion_tpu.utils.misc import Map, seed_everything
+
+
+class TestNoiseGenerator:
+    def test_iter_mode(self):
+        g = N.NoiseGenerator((2, 2), seed=10, seed_mode="iter")
+        a = g.sample()
+        assert g.last_seed == 11
+        b = g.sample()
+        assert g.last_seed == 12
+        assert not np.allclose(a, b)
+
+    def test_constant_mode(self):
+        g = N.NoiseGenerator((4,), seed=7, seed_mode="constant")
+        np.testing.assert_array_equal(g.sample(), g.sample())
+
+    def test_loop_mode(self):
+        g = N.NoiseGenerator((4,), seed_mode="loop", cycle_size=3)
+        seeds = [g.seed for _ in range(5)]
+        assert seeds == [1, 2, -2, -1, 1]  # build_cycle_mod(3) = [1, 2, -2, -1]
+
+    def test_exemplar_sequence(self):
+        g = N.NoiseGenerator((4,), seed_mode="constant")
+        g.add_exemplar(np.zeros(4), seed=1, uid="u")
+        g.add_exemplar(np.zeros(4), seed=2, uid="u")
+        a = g.sample_sequence("u")
+        b = g.sample_sequence("u")
+        c = g.sample_sequence("u")  # wraps around
+        np.testing.assert_array_equal(a, c)
+        assert not np.allclose(a, b)
+        g.clear_exemplars("u")
+        with pytest.raises(KeyError):
+            g.sample_sequence("u")
+
+    def test_matched_noise_outpaint(self):
+        rng = np.random.default_rng(0)
+        src = rng.random((32, 32, 3))
+        mask = np.zeros((32, 32, 3))
+        mask[:, 16:] = 1.0  # outpaint the right half
+        out = N.get_matched_noise(src, mask, noise_q=1.0, color_variation=0.05)
+        assert out.shape == src.shape
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        # unmasked region preserved
+        np.testing.assert_allclose(out[:, :16], src[:, :16], atol=1e-9)
+        # masked region filled with something non-constant
+        assert out[:, 16:].std() > 0.01
+
+
+class TestDepth:
+    def test_sobel_estimator_shape(self):
+        img = np.random.default_rng(0).integers(0, 255, (64, 48, 3), np.uint8)
+        d = D.SobelDepthEstimator().estimate(img)
+        assert d.shape == (64, 48)
+
+    def test_create_depth_mask_range(self):
+        d = np.linspace(0, 10, 64 * 64).reshape(64, 64)
+        m = D.create_depth_mask(d, size=(8, 8))
+        assert m.shape == (8, 8)
+        assert m.min() == pytest.approx(-1, abs=1e-5)
+        assert m.max() == pytest.approx(1, abs=1e-5)
+
+    def test_build_depth_mask(self):
+        img = np.random.default_rng(1).integers(0, 255, (64, 64, 3), np.uint8)
+        m = D.build_depth_mask(img, q=0.35, size=(8, 8))
+        assert m.shape == (8, 8)
+        assert m.min() >= 0.0 and m.max() == pytest.approx(1.0, abs=1e-6)
+        # the shave zeroed the lowest quantile
+        assert (m == 0).sum() > 0
+
+    def test_depth_manager_channel(self):
+        mgr = D.DepthManager(size=(8, 8))
+        img = np.random.default_rng(2).integers(0, 255, (64, 64, 3), np.uint8)
+        ch = mgr.conditioning_channel(img)
+        assert ch.shape == (8, 8, 1)
+
+    def test_merge_depth_blend(self):
+        rng = np.random.default_rng(3)
+        low = rng.random((32, 32))
+        high = rng.random((64, 64))
+        merged = D.merge_depth(low, high, merge_size=64)
+        assert merged.shape == (64, 64)
+        assert merged.min() >= 0 and merged.max() <= 1
+
+    def test_double_estimate(self):
+        img = np.random.default_rng(4).integers(0, 255, (64, 64, 3), np.uint8)
+        est = D.SobelDepthEstimator()
+        out = D.double_estimate(img, est, 32, 64, merge_size=64)
+        assert out.shape == (64, 64)
+
+
+class TestAnimation:
+    def test_parse_key_frames(self):
+        frames = A.parse_key_frames("0: (0.5), 60: (1.0)")
+        assert frames == {0: "0.5", 60: "1.0"}
+        with pytest.raises(RuntimeError):
+            A.parse_key_frames("not a keyframe string")
+
+    def test_interpolation_linear(self):
+        series = A.build_key_frames("0: (0.0), 10: (1.0)", 11)
+        np.testing.assert_allclose(series, np.linspace(0, 1, 11))
+
+    def test_interpolation_holds_ends(self):
+        series = A.build_key_frames("5: (2.0)", 10)
+        np.testing.assert_allclose(series, 2.0)
+
+    def test_keyframes_all_series(self):
+        args = A.AnimArgs(max_frames=10, zoom="0: (1.0), 9: (2.0)")
+        keys = A.KeyFrames(args)
+        assert keys.zoom_series[9] == pytest.approx(2.0)
+        assert len(keys.angle_series) == 10
+
+    def test_2d_warp_identity(self):
+        args = A.AnimArgs(w=32, h=32, max_frames=2)
+        keys = A.KeyFrames(args)
+        img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+        out = A.do_2d_animation_step(img, 0, keys, args)
+        np.testing.assert_array_equal(out, img)  # all-zero transforms
+
+    def test_2d_warp_zoom_changes_image(self):
+        args = A.AnimArgs(w=32, h=32, max_frames=2, zoom="0: (1.5)")
+        keys = A.KeyFrames(args)
+        img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+        out = A.do_2d_animation_step(img, 0, keys, args)
+        assert not np.array_equal(out, img)
+
+    def test_3d_warp_translation(self):
+        args = A.AnimArgs(
+            w=16, h=16, max_frames=2, translation_x="0: (10.0)",
+            depth_map=np.full((16, 16), 3.0),
+        )
+        keys = A.KeyFrames(args)
+        img = np.random.default_rng(1).integers(0, 255, (16, 16, 3), np.uint8)
+        out = A.do_3d_animation_step(img, 0, keys, args)
+        assert out.shape == img.shape
+        assert not np.array_equal(out, img)
+
+    def test_match_colors(self):
+        rng = np.random.default_rng(2)
+        a = rng.integers(0, 128, (16, 16, 3), np.uint8)
+        b = rng.integers(128, 255, (16, 16, 3), np.uint8)
+        out = A.match_colors(a, b)
+        assert out.shape == a.shape
+        assert out.mean() > a.mean()  # pulled toward the brighter reference
+
+
+class TestMetrics:
+    def test_spherical(self):
+        x = np.array([[1.0, 0.0]])
+        assert MET.spherical_dist(x, x)[0] == pytest.approx(0.0)
+        y = np.array([[0.0, 1.0]])
+        # orthogonal unit vectors: 2*arcsin(sqrt(2)/2)^2 = pi^2/8
+        assert MET.spherical_dist(x, y)[0] == pytest.approx(np.pi**2 / 8)
+
+    def test_cosine(self):
+        x = np.array([[1.0, 0.0]])
+        y = np.array([[1.0, 1.0]])
+        assert MET.cosine_sim(x, y)[0] == pytest.approx(1 / np.sqrt(2))
+
+
+class TestConfigYaml:
+    def test_sd15_yaml_parses(self):
+        from complex_prompt_diffusion_tpu.config import (
+            load_yaml_config,
+            unet_config_from_yaml,
+            vae_config_from_yaml,
+        )
+
+        conf = load_yaml_config("/root/reference/cpd/config/config-1.49.yaml")
+        unet_cfg = unet_config_from_yaml(
+            conf["model"]["params"]["unet_config"]["params"]
+        )
+        assert unet_cfg.model_channels == 320
+        assert unet_cfg.context_dim == 768
+        assert unet_cfg.channel_mult == (1, 2, 4, 4)
+        vae_cfg = vae_config_from_yaml(conf["model"]["params"]["first_stage_config"])
+        assert vae_cfg.ch == 128 and vae_cfg.double_z
+
+    def test_sd21_yaml_parses(self):
+        from complex_prompt_diffusion_tpu.config import (
+            load_yaml_config,
+            unet_config_from_yaml,
+        )
+
+        conf = load_yaml_config("/root/reference/cpd/config/v2-inference.yaml")
+        unet_cfg = unet_config_from_yaml(
+            conf["model"]["params"]["unet_config"]["params"]
+        )
+        assert unet_cfg.num_head_channels == 64
+        assert unet_cfg.context_dim == 1024
+        assert unet_cfg.use_linear_in_transformer
+
+    def test_depth2img_yaml(self):
+        from complex_prompt_diffusion_tpu.config import (
+            load_yaml_config,
+            unet_config_from_yaml,
+        )
+
+        conf = load_yaml_config(
+            "/root/reference/cpd/config/v2-midas-inference.yaml"
+        )
+        unet_cfg = unet_config_from_yaml(
+            conf["model"]["params"]["unet_config"]["params"]
+        )
+        assert unet_cfg.in_channels == 5  # depth channel
+
+
+class TestUtils:
+    def test_map(self):
+        m = Map({"a": 1}, b=2)
+        assert m.a == 1 and m.b == 2
+        m.c = 3
+        assert m["c"] == 3
+        with pytest.raises(AttributeError):
+            _ = m.missing
+
+    def test_seed_everything(self):
+        seed_everything(123)
+        a = np.random.rand(3)
+        seed_everything(123)
+        b = np.random.rand(3)
+        np.testing.assert_array_equal(a, b)
