@@ -109,6 +109,14 @@ class GuidanceConfig:
     # eps thresholding (score corrector, ddim.py:379-380)
     threshold_e: Optional[str] = None
     threshold_e_value: float = 99.66
+    # attention-saliency (SAG-style) guidance on the last N steps
+    # (ddim.py:268-272; see guidance.attn_guidance)
+    attn_guide: bool = False
+    attn_guide_rounds: int = 4
+    attn_guide_scale: float = 1.1
+    attn_guide_skip_idx: int = -1
+    attn_guide_mask_threshold: float = 90.0
+    attn_guide_blur_k: int = 31
 
 
 def make_uc_scale_schedule(
@@ -149,6 +157,56 @@ def make_uc_blur_schedule(gcfg: GuidanceConfig, total_steps: int) -> np.ndarray:
     return t_idx > (total_steps - rounds)
 
 
+def _batched_inputs(x, t, spec, depth_mask):
+    """Tile x/t and stack contexts for the one-call factor batch
+    (ddim.py:297-304)."""
+    b = x.shape[0]
+    k = spec.num_factors
+    if depth_mask is not None:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(depth_mask, x.shape[:3] + (depth_mask.shape[-1],))],
+            axis=-1,
+        )
+    x_in = jnp.tile(x, (1 + k, 1, 1, 1))
+    t_b = jnp.broadcast_to(jnp.asarray(t), (b,))
+    t_in = jnp.tile(t_b, (1 + k,))
+    ctx = jnp.concatenate([spec.uncond[None], spec.factors], axis=0)  # [1+K, L, D]
+    ctx_in = jnp.repeat(ctx, b, axis=0)  # factor-major
+    return x_in, t_in, ctx_in
+
+
+def _split_and_sum(out, spec, b, gcfg, uc_blur_on):
+    """CFG weighted masked sum from the batched UNet output
+    (ddim.py:311-329)."""
+    k = spec.num_factors
+    out = out.reshape((1 + k, b) + out.shape[1:])
+    e_uncond = out[0]
+    e_factors = out[1:]  # [K, B, H, W, C]
+
+    if uc_blur_on is not None and gcfg.uc_blur:
+        e_uncond = jax.lax.cond(
+            uc_blur_on,
+            lambda e: gaussian_blur(e, gcfg.uc_blur_k),
+            lambda e: e,
+            e_uncond,
+        )
+    weights = spec.scales.reshape(k, 1, 1, 1, 1) * spec.masks[:, None]
+    e_sum = jnp.sum(weights * (e_factors - e_uncond[None]), axis=0)
+    return e_uncond, e_sum
+
+
+def _combine(e_uncond, e_sum, uc_scale, gcfg):
+    """e_t = e_uncond + scale * e_sum with clip/threshold post-processing
+    (_epsilon_t, ddim.py:370-380)."""
+    scaled = uc_scale * e_sum
+    if gcfg.dynamic_scale_clip:
+        scaled = dynamic_clip(scaled, gcfg.dynamic_scale_clip_threshold)
+    e_t = e_uncond + scaled
+    if gcfg.threshold_e:
+        e_t = get_thresholder(gcfg.threshold_e)(e_t, gcfg.threshold_e_value)
+    return e_t
+
+
 def cfg_epsilon(
     unet_eps: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
     x: jax.Array,
@@ -166,42 +224,62 @@ def cfg_epsilon(
     t_in [(1+K)*B], context [(1+K)*B, L, D].
     x: [B, H, W, C]; t: scalar or [B]; uc_scale: scalar (this step's scale).
     """
+    x_in, t_in, ctx_in = _batched_inputs(x, t, spec, depth_mask)
+    out = unet_eps(x_in, t_in, ctx_in)
+    e_uncond, e_sum = _split_and_sum(out, spec, x.shape[0], gcfg, uc_blur_on)
+    return _combine(e_uncond, e_sum, uc_scale, gcfg)
+
+
+def cfg_epsilon_attn_guided(
+    unet_eps: Callable,
+    unet_eps_skips: Callable,
+    x: jax.Array,
+    t: jax.Array,
+    spec: GuidanceSpec,
+    uc_scale: jax.Array,
+    step_coeffs,
+    *,
+    gcfg: GuidanceConfig,
+    depth_mask: Optional[jax.Array] = None,
+    uc_blur_on: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Attention-saliency-guided variant (_attn_guidance + the blend in
+    _calculate_epsilon, ddim.py:190-249, 305-306, 331-333).
+
+    unet_eps_skips(x_in, t_in, ctx) -> (eps, skip tensors); step_coeffs =
+    (a_t, sqrt_one_minus_a_t) for the blur/renoise roundtrip. The saliency
+    mask comes from one encoder skip tensor; the blurred-salient-region input
+    is re-evaluated with the uncond context alone and the CFG sum is pushed
+    away from it: e_sum' = e_attn + scale * (e_sum - e_attn).
+    """
     b = x.shape[0]
-    k = spec.num_factors
+    x_in, t_in, ctx_in = _batched_inputs(x, t, spec, depth_mask)
+    out, skips = unet_eps_skips(x_in, t_in, ctx_in)
+    e_uncond, e_sum = _split_and_sum(out, spec, b, gcfg, uc_blur_on)
+
+    # saliency mask from the configured skip tensor (uncond batch slice)
+    feat = skips[gcfg.attn_guide_skip_idx][:b]
+    m = jnp.mean(feat.astype(jnp.float32), axis=-1, keepdims=True)
+    thresh = jnp.quantile(m, gcfg.attn_guide_mask_threshold / 100.0)
+    m = jnp.where(m > thresh, 1.0, 0.0)
+    mask = jax.image.resize(m, (b,) + x.shape[1:3] + (1,), method="nearest")
+
+    a_t, sqrt_1m = step_coeffs
+    pred_x0 = (x - sqrt_1m * e_uncond) / jnp.sqrt(a_t)
+    blurred = gaussian_blur(pred_x0, gcfg.attn_guide_blur_k)
+    blur_x = jnp.sqrt(a_t) * blurred + sqrt_1m * e_uncond
+    guide_x = blur_x * mask + x * (1.0 - mask)
 
     if depth_mask is not None:
-        x = jnp.concatenate([x, jnp.broadcast_to(depth_mask, x.shape[:3] + (depth_mask.shape[-1],))], axis=-1)
-
-    x_in = jnp.tile(x, (1 + k, 1, 1, 1))
-    t_b = jnp.broadcast_to(jnp.asarray(t), (b,))
-    t_in = jnp.tile(t_b, (1 + k,))
-    ctx = jnp.concatenate([spec.uncond[None], spec.factors], axis=0)  # [1+K, L, D]
-    ctx_in = jnp.repeat(ctx, b, axis=0)  # factor-major
-
-    out = unet_eps(x_in, t_in, ctx_in)  # [(1+K)*B, H, W, C_out]
-    out = out.reshape((1 + k, b) + out.shape[1:])
-    e_uncond = out[0]
-    e_factors = out[1:]  # [K, B, H, W, C]
-
-    if uc_blur_on is not None and gcfg.uc_blur:
-        e_uncond = jax.lax.cond(
-            uc_blur_on,
-            lambda e: gaussian_blur(e, gcfg.uc_blur_k),
-            lambda e: e,
-            e_uncond,
+        guide_x = jnp.concatenate(
+            [guide_x, jnp.broadcast_to(depth_mask, guide_x.shape[:3] + (depth_mask.shape[-1],))],
+            axis=-1,
         )
+    t_b = jnp.broadcast_to(jnp.asarray(t), (b,))
+    e_attn = unet_eps(guide_x, t_b, jnp.repeat(spec.uncond[None], b, axis=0))
 
-    weights = spec.scales.reshape(k, 1, 1, 1, 1) * spec.masks[:, None]  # [K,1|B...]
-    e_sum = jnp.sum(weights * (e_factors - e_uncond[None]), axis=0)
-
-    scaled = uc_scale * e_sum
-    if gcfg.dynamic_scale_clip:
-        scaled = dynamic_clip(scaled, gcfg.dynamic_scale_clip_threshold)
-
-    e_t = e_uncond + scaled
-    if gcfg.threshold_e:
-        e_t = get_thresholder(gcfg.threshold_e)(e_t, gcfg.threshold_e_value)
-    return e_t
+    e_sum = e_attn + gcfg.attn_guide_scale * (e_sum - e_attn)
+    return _combine(e_uncond, e_sum, uc_scale, gcfg)
 
 
 def sigma_to_t_cont(sigma: jax.Array, model_sigmas: jax.Array) -> jax.Array:

@@ -22,6 +22,11 @@ from complex_prompt_diffusion_tpu.models.clip import (
     CLIPTextConfig,
     init_clip_text,
     clip_text_apply,
+    CLIPVisionConfig,
+    init_clip_vision,
+    clip_vision_apply,
+    CLIP_IMAGE_MEAN,
+    CLIP_IMAGE_STD,
 )
 
 __all__ = [
@@ -36,4 +41,9 @@ __all__ = [
     "CLIPTextConfig",
     "init_clip_text",
     "clip_text_apply",
+    "CLIPVisionConfig",
+    "init_clip_vision",
+    "clip_vision_apply",
+    "CLIP_IMAGE_MEAN",
+    "CLIP_IMAGE_STD",
 ]

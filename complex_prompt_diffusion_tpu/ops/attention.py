@@ -148,6 +148,46 @@ def _xla_attention(q, k, v, scale):
     ).astype(q.dtype)
 
 
+@functools.lru_cache(maxsize=64)
+def _pallas_attention_diff(scale, block_q, block_k, interpret):
+    """Differentiable wrapper: Pallas forward, XLA-recompute backward (the
+    kernel has no VJP; CLIP guidance takes grads through the UNet/VAE)."""
+
+    def _fwd_pallas(q, k, v):
+        b, h, sq, d = q.shape
+        d_pad = _round_up(d, 128)
+        if d_pad != d:
+            pad = ((0, 0), (0, 0), (0, 0), (0, d_pad - d))
+            q = jnp.pad(q, pad)
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
+        out = _flash_attention_bhsd(
+            q.reshape(b * h, sq, d_pad),
+            k.reshape(b * h, k.shape[2], d_pad),
+            v.reshape(b * h, v.shape[2], d_pad),
+            scale=scale,
+            block_q=block_q,
+            block_k=block_k,
+            interpret=interpret,
+        )
+        return out.reshape(b, h, sq, d_pad)[..., :d]
+
+    @jax.custom_vjp
+    def fn(q, k, v):
+        return _fwd_pallas(q, k, v)
+
+    def fwd(q, k, v):
+        return fn(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        q, k, v = res
+        _, vjp = jax.vjp(lambda a, b, c: _xla_attention(a, b, c, scale), q, k, v)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -176,23 +216,7 @@ def flash_attention(
     if not (use_pallas or interpret):
         return _xla_attention(q, k, v, scale)
 
-    d_pad = _round_up(d, 128)
-    if d_pad != d:
-        pad = ((0, 0), (0, 0), (0, 0), (0, d_pad - d))
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-
-    out = _flash_attention_bhsd(
-        q.reshape(b * h, sq, d_pad),
-        k.reshape(b * h, k.shape[2], d_pad),
-        v.reshape(b * h, v.shape[2], d_pad),
-        scale=scale,
-        block_q=block_q,
-        block_k=block_k,
-        interpret=interpret,
-    )
-    return out.reshape(b, h, sq, d_pad)[..., :d]
+    return _pallas_attention_diff(scale, block_q, block_k, interpret)(q, k, v)
 
 
 def attention(

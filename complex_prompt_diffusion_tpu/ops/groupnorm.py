@@ -105,6 +105,33 @@ def _gn_xla(x, gamma, beta, num_groups, eps, silu):
     return y.astype(x.dtype)
 
 
+@functools.lru_cache(maxsize=64)
+def _gn_pallas_diff(num_groups, eps, silu, interpret):
+    """Differentiable wrapper: Pallas forward, XLA-recompute backward (the
+    kernel itself has no VJP; guidance paths grad through the VAE/UNet)."""
+
+    @jax.custom_vjp
+    def fn(x, gamma, beta):
+        return _gn_pallas(
+            x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu,
+            interpret=interpret,
+        )
+
+    def fwd(x, gamma, beta):
+        return fn(x, gamma, beta), (x, gamma, beta)
+
+    def bwd(res, g):
+        x, gamma, beta = res
+        _, vjp = jax.vjp(
+            lambda xx, gg, bb: _gn_xla(xx, gg, bb, num_groups, eps, silu),
+            x, gamma, beta,
+        )
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def _dispatch(x, gamma, beta, num_groups, eps, silu, use_pallas, interpret=False):
     if x.shape[-1] % num_groups != 0:
         raise ValueError(f"channels {x.shape[-1]} not divisible by {num_groups} groups")
@@ -113,10 +140,7 @@ def _dispatch(x, gamma, beta, num_groups, eps, silu, use_pallas, interpret=False
     n, h, w, c = x.shape
     fits = h * w * c * 4 <= _VMEM_BUDGET
     if (use_pallas and fits) or interpret:
-        return _gn_pallas(
-            x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu,
-            interpret=interpret,
-        )
+        return _gn_pallas_diff(num_groups, eps, silu, interpret)(x, gamma, beta)
     return _gn_xla(x, gamma, beta, num_groups, eps, silu)
 
 

@@ -198,7 +198,10 @@ def _sigma_schedule(bundle: ModelBundle, cfg: RenderConfig) -> np.ndarray:
     )
 
 
-def _build_sampler_fn(bundle: ModelBundle, cfg: RenderConfig, t_start, has_depth, has_noises):
+def _build_sampler_fn(
+    bundle: ModelBundle, cfg: RenderConfig, t_start, has_depth, has_noises,
+    clip_guidance=None,
+):
     """Build and jit the sampling core for a (bundle, cfg) pair.
 
     CRITICAL compile-time property: ``unet_params`` is threaded through the
@@ -206,6 +209,9 @@ def _build_sampler_fn(bundle: ModelBundle, cfg: RenderConfig, t_start, has_depth
     XLA module as literal constants, blowing compile time from ~90s to >25
     minutes (measured) and doubling HBM. The returned callable is cached on
     the bundle keyed by the static config.
+
+    ``clip_guidance``: optional (vision_cfg, ClipGuidanceConfig) — the
+    vision params and text embedding arrive as run() arguments.
     """
     family, sample_fn = SA.get_sampler(cfg.sampler)
 
@@ -216,14 +222,85 @@ def _build_sampler_fn(bundle: ModelBundle, cfg: RenderConfig, t_start, has_depth
         s = itables.num_steps
         uc_scales = jnp.asarray(make_uc_scale_schedule(cfg.guidance, s), jnp.float32)
         blur_flags = jnp.asarray(make_uc_blur_schedule(cfg.guidance, s))
+        timesteps_j = jnp.asarray(itables.timesteps)
+        ac_t_j = jnp.asarray(itables.alphas_cumprod_t, jnp.float32)
+        s1m_j = jnp.asarray(itables.sqrt_one_minus_alphas_cumprod_t, jnp.float32)
+        gcfg = cfg.guidance
 
-        def run(unet_params, spec, x_T, key, noises, depth_mask):
+        def run(unet_params, spec, x_T, key, noises, depth_mask, guide_args):
             def unet_eps(x, t, ctx):
                 return M.unet_apply(bundle.unet_cfg, unet_params, x, t, ctx)
 
-            eps_fn, _ = make_denoiser(
-                unet_eps, spec, gcfg=cfg.guidance, depth_mask=depth_mask
+            def unet_eps_skips(x, t, ctx):
+                return M.unet_apply(
+                    bundle.unet_cfg, unet_params, x, t, ctx, return_skips=True
+                )
+
+            base_eps, _ = make_denoiser(
+                unet_eps, spec, gcfg=gcfg, depth_mask=depth_mask
             )
+
+            if gcfg.attn_guide or clip_guidance is not None:
+                from complex_prompt_diffusion_tpu.guidance.cfg import (
+                    cfg_epsilon_attn_guided,
+                )
+
+                def eps_fn(x, t, uc_scale, blur_on):
+                    idx = jnp.searchsorted(timesteps_j, jnp.asarray(t).reshape(()).astype(timesteps_j.dtype))
+                    idx = jnp.clip(idx, 0, s - 1)
+                    a_t = jnp.take(ac_t_j, idx)
+                    sqrt_1m = jnp.take(s1m_j, idx)
+
+                    if gcfg.attn_guide:
+                        attn_on = idx < gcfg.attn_guide_rounds
+
+                        e_t = jax.lax.cond(
+                            attn_on,
+                            lambda x_: cfg_epsilon_attn_guided(
+                                unet_eps, unet_eps_skips, x_, t, spec,
+                                uc_scale, (a_t, sqrt_1m),
+                                gcfg=gcfg, depth_mask=depth_mask,
+                                uc_blur_on=blur_on,
+                            ),
+                            lambda x_: base_eps(x_, t, uc_scale, blur_on),
+                            x,
+                        )
+                    else:
+                        e_t = base_eps(x, t, uc_scale, blur_on)
+
+                    if clip_guidance is not None:
+                        from complex_prompt_diffusion_tpu.guidance.clip_guidance import (
+                            make_clip_guidance,
+                        )
+
+                        vision_cfg, cg_cfg = clip_guidance
+                        vision_params, text_emb = guide_args
+
+                        def vae_dec(z):
+                            return M.vae_decode(
+                                bundle.vae_cfg, bundle.vae_params, z
+                            )
+
+                        guide = make_clip_guidance(
+                            vae_dec, vision_cfg, vision_params, text_emb, cg_cfg
+                        )
+                        apply_guide = jnp.logical_and(
+                            cg_cfg.freq > 0,
+                            jnp.asarray(t).reshape(()).astype(jnp.int32)
+                            % max(cg_cfg.freq, 1)
+                            == 0,
+                        )
+                        e_t = jax.lax.cond(
+                            apply_guide,
+                            lambda args: guide(*args),
+                            lambda args: args[1],
+                            (x, e_t, a_t),
+                        )
+                    return e_t
+
+            else:
+                eps_fn = base_eps
+
             kwargs = dict(
                 key=key,
                 noises=noises,
@@ -245,7 +322,7 @@ def _build_sampler_fn(bundle: ModelBundle, cfg: RenderConfig, t_start, has_depth
         )
         uc = jnp.asarray(cfg.guidance.guidance_scale, jnp.float32)
 
-        def run(unet_params, spec, x_T, key, noises, depth_mask):
+        def run(unet_params, spec, x_T, key, noises, depth_mask, guide_args):
             def unet_eps(x, t, ctx):
                 return M.unet_apply(bundle.unet_cfg, unet_params, x, t, ctx)
 
@@ -277,7 +354,7 @@ def _build_sampler_fn(bundle: ModelBundle, cfg: RenderConfig, t_start, has_depth
     if "ancestral" in cfg.sampler.lower():
         kw["eta"] = cfg.eta if cfg.eta else 1.0
 
-    def run(unet_params, spec, x, key, noises, depth_mask):
+    def run(unet_params, spec, x, key, noises, depth_mask, guide_args):
         def unet_eps(x_, t, ctx):
             return M.unet_apply(bundle.unet_cfg, unet_params, x_, t, ctx)
 
@@ -303,20 +380,34 @@ def sample_latents(
     noises: Optional[jax.Array] = None,
     depth_mask: Optional[jax.Array] = None,
     t_start: Optional[int] = None,
+    clip_guidance=None,
 ) -> jax.Array:
     """Run the configured sampler; returns final latents [B, h, w, 4]
     (unscaled model space). The whole chain is one jit'd program, cached on
-    the bundle per RenderConfig."""
+    the bundle per RenderConfig.
+
+    ``clip_guidance``: optional (vision_cfg, vision_params, text_embedding,
+    ClipGuidanceConfig) enabling per-step CLIP gradient guidance
+    (t-family samplers only)."""
     family, sample_fn = SA.get_sampler(cfg.sampler)
     key = jax.random.PRNGKey(cfg.seed) if key is None else key
     key_init, key_steps = jax.random.split(key)
     shape = (cfg.batch_size,) + cfg.latent_shape
 
-    cache_key = (cfg, t_start, depth_mask is not None, noises is not None)
+    if clip_guidance is not None:
+        vision_cfg, vision_params, text_emb, cg_cfg = clip_guidance
+        cg_static = (vision_cfg, cg_cfg)
+        guide_args = (vision_params, jnp.asarray(text_emb))
+    else:
+        cg_static = None
+        guide_args = None
+
+    cache_key = (cfg, t_start, depth_mask is not None, noises is not None, cg_static)
     run = bundle._jit_cache.get(cache_key)
     if run is None:
         run = _build_sampler_fn(
-            bundle, cfg, t_start, depth_mask is not None, noises is not None
+            bundle, cfg, t_start, depth_mask is not None, noises is not None,
+            clip_guidance=cg_static,
         )
         bundle._jit_cache[cache_key] = run
 
@@ -329,7 +420,9 @@ def sample_latents(
             if t_start is not None:
                 sigmas = sigmas[len(sigmas) - 1 - t_start :]
             x_T = x_T * float(sigmas[0])
-    return run(bundle.unet_params, spec, x_T, key_steps, noises, depth_mask)
+    return run(
+        bundle.unet_params, spec, x_T, key_steps, noises, depth_mask, guide_args
+    )
 
 
 def decode_latents(bundle: ModelBundle, latents: jax.Array) -> np.ndarray:

@@ -120,7 +120,15 @@ def clip_guided_txt2img(
     shape = (cfg.batch_size,) + cfg.latent_shape
 
     rng = np.random.default_rng(cfg.seed)
-    plan = make_cutout_plan(rng, cfg.height, 224, num_cutouts) if use_cutouts else None
+    cut = vision_cfg.image_size
+    # decoded image side: latent side * VAE upsampling factor (the full SD
+    # VAE restores cfg.height; test-scale VAEs may upsample less)
+    decoded_side = (cfg.height // 8) * 2 ** (len(bundle.vae_cfg.ch_mult) - 1)
+    plan = (
+        make_cutout_plan(rng, decoded_side, min(cut, decoded_side), num_cutouts)
+        if use_cutouts
+        else None
+    )
 
     mean = jnp.asarray(CLIP_IMAGE_MEAN).reshape(1, 1, 1, 3)
     std = jnp.asarray(CLIP_IMAGE_STD).reshape(1, 1, 1, 3)
@@ -139,10 +147,10 @@ def clip_guided_txt2img(
         img = M.vae_decode(bundle.vae_cfg, bundle.vae_params, sample / LATENT_SCALE)
         img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
         if use_cutouts:
-            img = apply_cutouts(img, plan, 224)
+            img = apply_cutouts(img, plan, cut)
         else:
             img = jax.image.resize(
-                img, (img.shape[0], 224, 224, 3), method="linear"
+                img, (img.shape[0], cut, cut, 3), method="linear"
             )
         img = (img - mean) / std
         emb = clip_vision_apply(vision_cfg, vision_params, img)
