@@ -1,0 +1,272 @@
+"""Additional text encoders: T5 and a generic bidirectional transformer.
+
+Parity targets in /root/reference/cpd/models/embedder.py:
+  * FrozenT5Embedder (:764-792) — google/t5-v1_1 encoder: RMSNorm,
+    relative-position-bucket attention bias (shared from layer 0), gated-GELU
+    MLP, no attention scaling, no absolute positions.
+  * BERTEmbedder / BERTTokenizer (:674-726) and the bundled x-transformers
+    clone (TransformerWrapper/AttentionLayers/Attention, :196-617) — covered
+    by :class:`TransformerTextConfig`: learned positional embeddings, pre-LN
+    blocks, GELU MLP — the configuration the reference actually instantiates
+    (emb_dropout/rel-pos flags off by default).
+  * FrozenCLIPT5Encoder (:902-918) — concat of CLIP and T5 encodings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from complex_prompt_diffusion_tpu.models import layers as L
+
+__all__ = [
+    "T5Config",
+    "init_t5_encoder",
+    "t5_encode",
+    "convert_t5_hf",
+    "TransformerTextConfig",
+    "init_transformer_text",
+    "transformer_text_apply",
+    "clip_t5_encode",
+]
+
+
+# --------------------------------------------------------------------------
+# T5 v1.1 encoder
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 1024
+    d_kv: int = 64
+    num_heads: int = 16
+    d_ff: int = 2816
+    num_layers: int = 24
+    relative_buckets: int = 32
+    relative_max_distance: int = 128
+    layer_norm_eps: float = 1e-6
+    dtype: str = "float32"
+
+    @staticmethod
+    def v1_1_large() -> "T5Config":
+        """google/t5-v1_1-large (the reference's default version,
+        embedder.py:766)."""
+        return T5Config()
+
+    @staticmethod
+    def tiny() -> "T5Config":
+        return T5Config(
+            vocab_size=1000, d_model=64, d_kv=16, num_heads=4, d_ff=128,
+            num_layers=2,
+        )
+
+
+def _rms_norm(scale, x, eps):
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps) * scale).astype(x.dtype)
+
+
+def relative_position_bucket(
+    relative_position, num_buckets: int = 32, max_distance: int = 128
+):
+    """T5's bidirectional relative position bucketing."""
+    num_buckets //= 2
+    ret = (relative_position > 0).astype(np.int64) * num_buckets
+    n = np.abs(relative_position)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_large = max_exact + (
+        np.log(n / max_exact + 1e-9)
+        / np.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(np.int64)
+    val_large = np.minimum(val_large, num_buckets - 1)
+    return ret + np.where(is_small, n, val_large)
+
+
+def init_t5_encoder(key, cfg: T5Config):
+    rng = L.as_np_rng(key)
+    d = cfg.d_model
+    inner = cfg.num_heads * cfg.d_kv
+    params = {
+        "token_embedding": jnp.asarray(
+            rng.normal(size=(cfg.vocab_size, d)) * 1.0, jnp.float32
+        ),
+        "relative_bias": jnp.asarray(
+            rng.normal(size=(cfg.relative_buckets, cfg.num_heads)) * 0.1,
+            jnp.float32,
+        ),
+        "layers": [],
+        "final_ln": jnp.ones((d,), jnp.float32),
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append(
+            {
+                "ln1": jnp.ones((d,), jnp.float32),
+                "q": L.init_linear(rng, d, inner, bias=False),
+                "k": L.init_linear(rng, d, inner, bias=False),
+                "v": L.init_linear(rng, d, inner, bias=False),
+                "o": L.init_linear(rng, inner, d, bias=False),
+                "ln2": jnp.ones((d,), jnp.float32),
+                "wi_0": L.init_linear(rng, d, cfg.d_ff, bias=False),
+                "wi_1": L.init_linear(rng, d, cfg.d_ff, bias=False),
+                "wo": L.init_linear(rng, cfg.d_ff, d, bias=False),
+            }
+        )
+    return params
+
+
+def t5_encode(cfg: T5Config, params, tokens: jax.Array) -> jax.Array:
+    """Encode token ids [N, L] -> [N, L, d_model] (last hidden state,
+    embedder.py:783-791)."""
+    n, s = tokens.shape
+    dtype = jnp.dtype(cfg.dtype)
+    x = params["token_embedding"][tokens].astype(dtype)
+
+    pos = np.arange(s)
+    rel = pos[None, :] - pos[:, None]  # memory - query
+    buckets = relative_position_bucket(
+        rel, cfg.relative_buckets, cfg.relative_max_distance
+    )
+    bias = params["relative_bias"][jnp.asarray(buckets)]  # [L, L, H]
+    bias = jnp.transpose(bias, (2, 0, 1))[None]  # [1, H, L, L]
+
+    h_heads, d_kv = cfg.num_heads, cfg.d_kv
+    for p in params["layers"]:
+        y = _rms_norm(p["ln1"], x, cfg.layer_norm_eps)
+
+        def split(z):
+            return z.reshape(n, s, h_heads, d_kv).transpose(0, 2, 1, 3)
+
+        q = split(L.linear(p["q"], y))
+        k = split(L.linear(p["k"], y))
+        v = split(L.linear(p["v"], y))
+        scores = (
+            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            + bias
+        )  # T5: no 1/sqrt(d) scaling
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+        att = att.transpose(0, 2, 1, 3).reshape(n, s, h_heads * d_kv)
+        x = x + L.linear(p["o"], att)
+
+        y = _rms_norm(p["ln2"], x, cfg.layer_norm_eps)
+        gelu = L.gelu(L.linear(p["wi_0"], y))
+        x = x + L.linear(p["wo"], gelu * L.linear(p["wi_1"], y))
+
+    return _rms_norm(params["final_ln"], x, cfg.layer_norm_eps).astype(jnp.float32)
+
+
+def convert_t5_hf(cfg: T5Config, sd, prefix: str = "encoder.") -> dict:
+    """Map a HF T5EncoderModel state_dict onto the pytree."""
+    params = {
+        "token_embedding": sd.get("shared.weight", sd.get(f"{prefix}embed_tokens.weight")),
+        "relative_bias": sd[
+            f"{prefix}block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+        ],
+        "layers": [],
+        "final_ln": sd[f"{prefix}final_layer_norm.weight"],
+    }
+    for i in range(cfg.num_layers):
+        b = f"{prefix}block.{i}.layer"
+        params["layers"].append(
+            {
+                "ln1": sd[f"{b}.0.layer_norm.weight"],
+                "q": {"kernel": sd[f"{b}.0.SelfAttention.q.weight"].T},
+                "k": {"kernel": sd[f"{b}.0.SelfAttention.k.weight"].T},
+                "v": {"kernel": sd[f"{b}.0.SelfAttention.v.weight"].T},
+                "o": {"kernel": sd[f"{b}.0.SelfAttention.o.weight"].T},
+                "ln2": sd[f"{b}.1.layer_norm.weight"],
+                "wi_0": {"kernel": sd[f"{b}.1.DenseReluDense.wi_0.weight"].T},
+                "wi_1": {"kernel": sd[f"{b}.1.DenseReluDense.wi_1.weight"].T},
+                "wo": {"kernel": sd[f"{b}.1.DenseReluDense.wo.weight"].T},
+            }
+        )
+    return params
+
+
+# --------------------------------------------------------------------------
+# Generic bidirectional transformer (BERTEmbedder / x-transformers slot)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerTextConfig:
+    """BERTEmbedder defaults (embedder.py:704-726): n_embed=1280, n_layer=32,
+    vocab 30522, max_seq_len 77."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 1280
+    num_layers: int = 32
+    num_heads: int = 8
+    max_length: int = 77
+    mlp_ratio: int = 4
+    dtype: str = "float32"
+
+    @staticmethod
+    def tiny() -> "TransformerTextConfig":
+        return TransformerTextConfig(
+            vocab_size=1000, hidden_size=64, num_layers=2, num_heads=4
+        )
+
+
+def init_transformer_text(key, cfg: TransformerTextConfig):
+    rng = L.as_np_rng(key)
+    d = cfg.hidden_size
+    params = {
+        "token_embedding": jnp.asarray(rng.normal(size=(cfg.vocab_size, d)) * 0.02, jnp.float32),
+        "position_embedding": jnp.asarray(rng.normal(size=(cfg.max_length, d)) * 0.01, jnp.float32),
+        "layers": [],
+        "final_ln": L.init_layer_norm(d),
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append(
+            {
+                "ln1": L.init_layer_norm(d),
+                "q": L.init_linear(rng, d, d, bias=False),
+                "k": L.init_linear(rng, d, d, bias=False),
+                "v": L.init_linear(rng, d, d, bias=False),
+                "out": L.init_linear(rng, d, d),
+                "ln2": L.init_layer_norm(d),
+                "fc1": L.init_linear(rng, d, d * cfg.mlp_ratio),
+                "fc2": L.init_linear(rng, d * cfg.mlp_ratio, d),
+            }
+        )
+    return params
+
+
+def transformer_text_apply(cfg: TransformerTextConfig, params, tokens):
+    """Bidirectional encoder, returns [N, L, D] (TransformerWrapper with
+    return_embeddings=True, embedder.py:717-726)."""
+    n, s = tokens.shape
+    dtype = jnp.dtype(cfg.dtype)
+    x = params["token_embedding"][tokens].astype(dtype)
+    x = x + params["position_embedding"][None, :s].astype(dtype)
+    dh = cfg.hidden_size // cfg.num_heads
+    for p in params["layers"]:
+        y = L.layer_norm(p["ln1"], x)
+
+        def split(z):
+            return z.reshape(n, s, cfg.num_heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = split(L.linear(p["q"], y)), split(L.linear(p["k"], y)), split(L.linear(p["v"], y))
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (dh**-0.5)
+        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", w, v).transpose(0, 2, 1, 3).reshape(n, s, -1)
+        x = x + L.linear(p["out"], att)
+        y = L.layer_norm(p["ln2"], x)
+        x = x + L.linear(p["fc2"], L.gelu(L.linear(p["fc1"], y)))
+    return L.layer_norm(params["final_ln"], x).astype(jnp.float32)
+
+
+def clip_t5_encode(clip_fn, t5_fn, text_tokens_clip, text_tokens_t5):
+    """FrozenCLIPT5Encoder (embedder.py:902-918): both encodings as a list."""
+    return [clip_fn(text_tokens_clip), t5_fn(text_tokens_t5)]

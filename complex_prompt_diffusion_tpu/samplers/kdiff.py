@@ -398,7 +398,11 @@ def sample_dpm_fast(
     else:
         orders = [3] * (m - 1) + [nfe % 3]
 
-    ucs = _uc(uc_scales, len(orders))
+    # the order-grouped walk has fewer outer steps than NFE; resample the
+    # per-step scale schedule onto the group grid
+    uc_arr = np.broadcast_to(np.asarray(uc_scales, np.float64), (nfe,))
+    grid = np.linspace(0, nfe - 1, len(orders))
+    ucs = _uc(np.interp(grid, np.arange(nfe), uc_arr), len(orders))
     noise_at = _noise_source(key, noises, x.shape)
     sig_of = lambda t: math.exp(-t)  # noqa: E731
 

@@ -52,9 +52,9 @@ class NoiseScheduleVP:
             log_alphas = 0.5 * np.log(np.asarray(alphas_cumprod, np.float64))
             self.total_N = len(log_alphas)
             self.T = 1.0
-            self._t_array = jnp.asarray(
-                np.linspace(1.0 / self.total_N, 1.0, self.total_N), jnp.float32
-            )
+            self._t_np = np.linspace(1.0 / self.total_N, 1.0, self.total_N)
+            self._log_alpha_np = log_alphas
+            self._t_array = jnp.asarray(self._t_np, jnp.float32)
             self._log_alpha_array = jnp.asarray(log_alphas, jnp.float32)
         else:
             self.total_N = 1000
@@ -78,6 +78,43 @@ class NoiseScheduleVP:
         log_mean = self.marginal_log_mean_coeff(t)
         log_std = 0.5 * jnp.log(1.0 - jnp.exp(2.0 * log_mean))
         return log_mean - log_std
+
+    # --- host-side (numpy) variants for static time grids -----------------
+    def log_mean_coeff_np(self, t: float) -> float:
+        if self.schedule == "discrete":
+            return float(np.interp(t, self._t_np, self._log_alpha_np))
+        return float(-0.25 * t**2 * (self.beta_1 - self.beta_0) - 0.5 * t * self.beta_0)
+
+    def alpha_np(self, t: float) -> float:
+        import math as _m
+
+        return _m.exp(self.log_mean_coeff_np(t))
+
+    def std_np(self, t: float) -> float:
+        import math as _m
+
+        return _m.sqrt(1.0 - _m.exp(2.0 * self.log_mean_coeff_np(t)))
+
+    def lambda_np(self, t: float) -> float:
+        import math as _m
+
+        lm = self.log_mean_coeff_np(t)
+        return lm - 0.5 * _m.log(1.0 - _m.exp(2.0 * lm))
+
+    def inverse_lambda_np(self, lamb: float) -> float:
+        import math as _m
+
+        if self.schedule == "discrete":
+            # log_alpha = -0.5 * softplus(-2*lamb)
+            log_alpha = -0.5 * _m.log1p(_m.exp(-2.0 * lamb))
+            return float(
+                np.interp(
+                    log_alpha, self._log_alpha_np[::-1], self._t_np[::-1]
+                )
+            )
+        tmp = 2.0 * (self.beta_1 - self.beta_0) * _m.log1p(_m.exp(-2.0 * lamb))
+        delta = self.beta_0**2 + tmp
+        return float(tmp / (_m.sqrt(delta) + self.beta_0) / (self.beta_1 - self.beta_0))
 
     def inverse_lambda(self, lamb):
         lamb = jnp.asarray(lamb, jnp.float32)
@@ -163,10 +200,10 @@ def _time_steps(
     if skip_type == "time_uniform":
         return np.linspace(t_T, t_0, n + 1)
     if skip_type == "logSNR":
-        lambda_T = float(ns.marginal_lambda(t_T))
-        lambda_0 = float(ns.marginal_lambda(t_0))
+        lambda_T = ns.lambda_np(t_T)
+        lambda_0 = ns.lambda_np(t_0)
         lambdas = np.linspace(lambda_T, lambda_0, n + 1)
-        return np.asarray(ns.inverse_lambda(jnp.asarray(lambdas)))
+        return np.asarray([ns.inverse_lambda_np(float(l)) for l in lambdas])
     if skip_type == "time_quadratic":
         return (
             np.linspace(t_T ** (1.0 / 2), t_0 ** (1.0 / 2), n + 1) ** 2
@@ -196,20 +233,22 @@ def sample_dpm_solver(
     t_0 = t_end if t_end is not None else 1.0 / ns.total_N
     predict_x0 = algorithm_type == "dpmsolver++"
 
+    # time grids are static: all schedule coefficients evaluate host-side
+    # (jit-safe; they enter the graph as literals)
     def lam(t):
-        return ns.marginal_lambda(t)
+        return ns.lambda_np(float(t))
 
     def alpha(t):
-        return ns.marginal_alpha(t)
+        return ns.alpha_np(float(t))
 
     def sigma(t):
-        return ns.marginal_std(t)
+        return ns.std_np(float(t))
 
     def to_x0(eps, x, t):
         return (x - sigma(t) * eps) / alpha(t)
 
-    def phi(h):  # expm1
-        return jnp.expm1(h)
+    def phi(h):  # expm1 on static floats
+        return math.expm1(h)
 
     def first_update(x, s, t, model_s):
         # model_s comes from eval_model: already an x0 prediction in ++ mode
@@ -262,9 +301,10 @@ def sample_dpm_solver(
         )
 
     def eval_model(x, t):
+        # t is a static float: only the model call sees a traced scalar
         eps = model_fn(x, jnp.asarray(t, jnp.float32))
         if predict_x0:
-            return to_x0(eps, x, jnp.asarray(t, jnp.float32))
+            return to_x0(eps, x, float(t))
         return eps
 
     ts = _time_steps(ns, skip_type, t_T, t_0, steps)
@@ -322,9 +362,9 @@ def sample_dpm_solver(
                 m = eval_model(x, s)
                 x = first_update(x, s, t, m)
             elif o == 2:
-                lam_s, lam_t = float(lam(s)), float(lam(t))
+                lam_s, lam_t = lam(s), lam(t)
                 h = lam_t - lam_s
-                s1 = float(ns.inverse_lambda(lam_s + 0.5 * h))
+                s1 = ns.inverse_lambda_np(lam_s + 0.5 * h)
                 m_s = eval_model(x, s)
                 x_s1 = first_update(x, s, s1, m_s)
                 m_s1 = eval_model(x_s1, s1)
@@ -341,10 +381,10 @@ def sample_dpm_solver(
                         - sigma(t) * phi(h) * (m_s1 - m_s)
                     )
             else:  # order 3: r1=1/3, r2=2/3
-                lam_s, lam_t = float(lam(s)), float(lam(t))
+                lam_s, lam_t = lam(s), lam(t)
                 h = lam_t - lam_s
-                s1 = float(ns.inverse_lambda(lam_s + h / 3.0))
-                s2 = float(ns.inverse_lambda(lam_s + 2.0 * h / 3.0))
+                s1 = ns.inverse_lambda_np(lam_s + h / 3.0)
+                s2 = ns.inverse_lambda_np(lam_s + 2.0 * h / 3.0)
                 m_s = eval_model(x, s)
                 x_s1 = first_update(x, s, s1, m_s)
                 m_s1 = eval_model(x_s1, s1)

@@ -87,13 +87,13 @@ def sample_unipc(
     ts = _time_steps(ns, skip_type, t_T, t_0, steps)
 
     def lam(t):
-        return float(ns.marginal_lambda(t))
+        return ns.lambda_np(float(t))
 
     def alpha(t):
-        return ns.marginal_alpha(jnp.asarray(t, jnp.float32))
+        return ns.alpha_np(float(t))
 
     def sigma(t):
-        return ns.marginal_std(jnp.asarray(t, jnp.float32))
+        return ns.std_np(float(t))
 
     def x0_of(x_in, t):
         eps = model_fn(x_in, jnp.asarray(t, jnp.float32))

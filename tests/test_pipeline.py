@@ -1,0 +1,224 @@
+"""End-to-end pipeline tests on tiny random models: txt2img/img2img across
+sampler families, manager JSON API, guidance variants, render engine,
+null-text inversion, depth conditioning."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from complex_prompt_diffusion_tpu import models as M
+from complex_prompt_diffusion_tpu.guidance import GuidanceConfig
+from complex_prompt_diffusion_tpu.pipeline import (
+    ModelBundle,
+    RenderConfig,
+    img2img,
+    make_guidance_spec,
+    sample_latents,
+    txt2img,
+)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return ModelBundle.random("tiny")
+
+
+def _cfg(**kw):
+    kw.setdefault("steps", 3)
+    kw.setdefault("width", 32)
+    kw.setdefault("height", 32)
+    return RenderConfig(**kw)
+
+
+class TestTxt2Img:
+    def test_ddim(self, bundle):
+        imgs, lat = txt2img(bundle, "a cat", "blurry", _cfg())
+        assert imgs.dtype == np.uint8
+        assert lat.shape == (1, 4, 4, 4)
+        assert np.isfinite(np.asarray(lat)).all()
+
+    def test_deterministic_per_seed(self, bundle):
+        _, a = txt2img(bundle, "a cat", cfg=_cfg(seed=5), decode=False)
+        _, b = txt2img(bundle, "a cat", cfg=_cfg(seed=5), decode=False)
+        _, c = txt2img(bundle, "a cat", cfg=_cfg(seed=6), decode=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+
+    @pytest.mark.parametrize("sampler", [
+        "PLMS", "Euler", "Euler Ancestral", "Huen", "DPM++ 2m", "LMS",
+        "DPM2", "DPM Fast", "dpm_solver", "UniPC",
+    ])
+    def test_sampler_zoo(self, bundle, sampler):
+        cfg = _cfg(sampler=sampler, sigma_schedule="karras" if sampler[0].isupper() and sampler not in ("PLMS", "UniPC") else "default")
+        if sampler in ("PLMS", "dpm_solver", "UniPC"):
+            cfg = _cfg(sampler=sampler)
+        _, lat = txt2img(bundle, "a cat", cfg=cfg, decode=False)
+        assert np.isfinite(np.asarray(lat)).all(), sampler
+
+    def test_injected_noise_reproducible(self, bundle):
+        cfg = _cfg(eta=1.0)
+        from complex_prompt_diffusion_tpu import schedules as S
+
+        it = S.make_inference_tables(bundle.tables, cfg.steps, eta=1.0)
+        noises = np.random.default_rng(0).normal(size=(it.num_steps, 1, 4, 4, 4)).astype(np.float32)
+        _, a = txt2img(bundle, "x", cfg=cfg, noises=jnp.asarray(noises), decode=False)
+        _, b = txt2img(bundle, "x", cfg=cfg, noises=jnp.asarray(noises), decode=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_thresholded_sampling(self, bundle):
+        cfg = _cfg(clip_sample="dynamic_thresholding", clip_sample_thresh=95.0)
+        _, lat = txt2img(bundle, "a cat", cfg=cfg, decode=False)
+        assert np.isfinite(np.asarray(lat)).all()
+
+    def test_guidance_options(self, bundle):
+        g = GuidanceConfig(
+            guidance_scale=5.0, decay_scale=True, decay_scale_start=1,
+            dynamic_scale_clip=True, uc_blur=True, uc_blur_k=3,
+            threshold_e="dynamic_thresholding",
+        )
+        _, lat = txt2img(bundle, "a cat", cfg=_cfg(guidance=g), decode=False)
+        assert np.isfinite(np.asarray(lat)).all()
+
+
+class TestImg2Img:
+    def test_roundtrip(self, bundle):
+        imgs, _ = txt2img(bundle, "a cat", cfg=_cfg())
+        out, lat = img2img(bundle, imgs[0], "a dog", cfg=_cfg(denoising_strength=0.5))
+        assert np.isfinite(np.asarray(lat)).all()
+
+    def test_sigma_family_img2img(self, bundle):
+        imgs, _ = txt2img(bundle, "a cat", cfg=_cfg())
+        out, lat = img2img(
+            bundle, imgs[0], "a dog",
+            cfg=_cfg(sampler="Euler", denoising_strength=0.5),
+        )
+        assert np.isfinite(np.asarray(lat)).all()
+
+
+class TestDepthConditioning:
+    def test_depth2img_unet(self):
+        # 5-channel tiny UNet + depth mask channel (ddim.py:274-276 semantics)
+        unet_cfg = dataclasses.replace(
+            M.UNetConfig.tiny(context_dim=64), in_channels=5, dtype="float32"
+        )
+        b = ModelBundle.random("tiny")
+        b = dataclasses.replace(
+            b, unet_cfg=unet_cfg,
+            unet_params=M.init_unet(jax.random.PRNGKey(1), unet_cfg),
+        )
+        depth = jnp.ones((4, 4, 1), jnp.float32) * 0.3
+        _, lat = txt2img(bundle=b, prompt="a cat", cfg=_cfg(), depth_mask=depth, decode=False)
+        assert np.isfinite(np.asarray(lat)).all()
+
+
+class TestManager:
+    def test_json_surface(self, bundle):
+        from complex_prompt_diffusion_tpu.manager import DiffusionModelManager
+
+        mgr = DiffusionModelManager(bundle=bundle)
+        imgs = mgr.process_txt2img(
+            {
+                "sampler": {"name": "DDIM", "args": {"eta": 0.0}},
+                "prompt": "a cat",
+                "render": {"steps": 3, "W": 32, "H": 32, "scale": 5.0},
+            }
+        )
+        assert imgs.shape[0] == 1
+
+    def test_prompt_json(self, bundle):
+        from complex_prompt_diffusion_tpu.manager import DiffusionModelManager
+
+        mgr = DiffusionModelManager(bundle=bundle)
+        imgs = mgr.process_txt2img(
+            {
+                "sampler": {"name": "DDIM", "args": {}},
+                "prompt_json": {
+                    "class": "CompositionalPrompt",
+                    "prompt": "a forest",
+                    "scale": 1.0,
+                    "conjunctions": [
+                        {"class": "ComplexPrompt", "prompt": "a river", "scale": 0.5}
+                    ],
+                    "negations": [],
+                },
+                "render": {"steps": 3, "W": 32, "H": 32},
+            }
+        )
+        assert imgs.shape[0] == 1
+
+    def test_inpaint(self, bundle):
+        from complex_prompt_diffusion_tpu.manager import DiffusionModelManager
+
+        mgr = DiffusionModelManager(bundle=bundle)
+        img = np.zeros((8, 8, 3), np.uint8)
+        mask = np.ones((8, 8), np.float32)
+        mask[:, 4:] = 0.0  # inpaint right half
+        out = mgr.process_img2img(
+            img,
+            {"sampler": {"name": "DDIM"}, "prompt": "sky",
+             "render": {"steps": 4, "W": 32, "H": 32}},
+            mask=mask,
+        )
+        assert out.shape[-1] == 3
+
+
+class TestRenderEngine:
+    def test_path_render(self, bundle):
+        from complex_prompt_diffusion_tpu.prompts import ComplexPrompt
+        from complex_prompt_diffusion_tpu.render import RenderEngine
+
+        p = ComplexPrompt("a cat", bundle=bundle)
+        p.add_prompt_lerp("a dog", magnitude=1.0, lerp_keys=["magnitude"])
+        eng = RenderEngine(bundle, _cfg())
+        frames = eng.render_path(p, lerp_steps=2)
+        assert len(frames) == 2
+        assert frames[0].dtype == np.uint8
+
+    def test_feedback_render(self, bundle):
+        from complex_prompt_diffusion_tpu.prompts import ComplexPrompt
+        from complex_prompt_diffusion_tpu.render import RenderEngine
+
+        p = ComplexPrompt("a cat", bundle=bundle)
+        p.add_prompt_lerp("a dog", magnitude=1.0, lerp_keys=["magnitude"])
+        eng = RenderEngine(bundle, _cfg(denoising_strength=0.5))
+        frames = eng.render_path(p, lerp_steps=2, feedback=True, coherance=0.9)
+        assert len(frames) == 2
+
+
+class TestNullInversion:
+    def test_inversion_and_optimization(self, bundle):
+        from complex_prompt_diffusion_tpu import schedules as S
+        from complex_prompt_diffusion_tpu.prompts.null_inversion import (
+            null_text_inversion,
+        )
+
+        it = S.make_inference_tables(bundle.tables, 3)
+        cond = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 77, 64)), jnp.float32
+        )
+        uncond = jnp.zeros((1, 77, 64))
+
+        def unet(x, t, ctx):
+            return M.unet_apply(
+                bundle.unet_cfg, bundle.unet_params, x,
+                jnp.broadcast_to(t, (x.shape[0],)), ctx,
+            )
+
+        def cond_eps(x, t):
+            return unet(x, t, cond)
+
+        def cfg_eps(x, t, u):
+            return unet(x, t, u), unet(x, t, cond)
+
+        z0 = 0.2 * jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, 4, 4, 4)), jnp.float32
+        )
+        x_T, unconds = null_text_inversion(
+            cond_eps, cfg_eps, z0, uncond, it, num_inner_steps=2
+        )
+        assert unconds.shape[0] == it.num_steps
+        assert np.isfinite(np.asarray(x_T)).all()
+        assert np.isfinite(np.asarray(unconds)).all()
