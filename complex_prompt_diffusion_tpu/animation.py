@@ -149,12 +149,15 @@ class KeyFrames:
 def match_colors(x: np.ndarray, s: np.ndarray) -> np.ndarray:
     """LAB-space histogram matching to a reference frame (animation.py:19-23)."""
     import cv2
-    import skimage.exposure
+
+    from complex_prompt_diffusion_tpu.noise import match_histograms
 
     prev_lab = cv2.cvtColor(x, cv2.COLOR_RGB2LAB)
     ref_lab = cv2.cvtColor(s, cv2.COLOR_RGB2LAB)
-    matched = skimage.exposure.match_histograms(prev_lab, ref_lab, channel_axis=-1)
-    return cv2.cvtColor(matched.astype(prev_lab.dtype), cv2.COLOR_LAB2RGB)
+    matched = match_histograms(prev_lab, ref_lab)
+    return cv2.cvtColor(
+        np.clip(matched, 0, 255).astype(prev_lab.dtype), cv2.COLOR_LAB2RGB
+    )
 
 
 def make_rotation_matrix(rotation_angles: List[float]) -> np.ndarray:

@@ -32,12 +32,24 @@ __all__ = [
 
 
 def match_histograms(source: np.ndarray, reference: np.ndarray) -> np.ndarray:
-    """Per-channel histogram matching (skimage-compatible)."""
-    import skimage.exposure
-
-    return skimage.exposure.match_histograms(
-        source, reference, channel_axis=-1
-    )
+    """Per-channel histogram matching via quantile mapping (the
+    skimage.exposure.match_histograms semantics the reference relies on,
+    implemented directly — skimage is not a dependency)."""
+    source = np.asarray(source)
+    reference = np.asarray(reference)
+    out = np.empty_like(source, dtype=np.float64)
+    c = source.shape[-1]
+    for ch in range(c):
+        s = source[..., ch].ravel()
+        r = reference[..., ch].ravel()
+        s_idx = np.argsort(s, kind="stable")
+        r_sorted = np.sort(r)
+        quantiles = np.linspace(0, 1, len(s))
+        matched = np.interp(quantiles, np.linspace(0, 1, len(r_sorted)), r_sorted)
+        flat = np.empty_like(s, dtype=np.float64)
+        flat[s_idx] = matched
+        out[..., ch] = flat.reshape(source[..., ch].shape)
+    return out.astype(source.dtype) if np.issubdtype(source.dtype, np.floating) else out
 
 
 def build_cycle_mod(n: int = 5) -> List[int]:
