@@ -357,6 +357,23 @@ def convert_clip_openclip(
 # --------------------------------------------------------------------------
 
 
+def apply_ema_weights(sd: Dict[str, Array]) -> Dict[str, Array]:
+    """Swap UNet weights for their EMA shadows when the checkpoint carries
+    them (LitEma buffers: 'model_ema.' + param name with dots stripped;
+    /root/reference/cpd/models/ema.py:13-27, used via ema_scope
+    ddpm.py:219-232)."""
+    if not any(k.startswith("model_ema.") for k in sd):
+        return sd
+    out = dict(sd)
+    prefix = "model.diffusion_model."
+    for k in sd:
+        if k.startswith(prefix):
+            ema_key = "model_ema." + k[len("model.") :].replace(".", "")
+            if ema_key in sd:
+                out[k] = sd[ema_key]
+    return out
+
+
 def detect_sd_version(sd: StateDict) -> str:
     """'sd2' if the checkpoint carries an OpenCLIP tower or 1024-dim context."""
     if any(k.startswith("cond_stage_model.model.") for k in sd):
@@ -364,11 +381,14 @@ def detect_sd_version(sd: StateDict) -> str:
     return "sd1"
 
 
-def load_sd_checkpoint(path: str):
+def load_sd_checkpoint(path: str, use_ema: bool = False):
     """Load a CompVis SD checkpoint into a model bundle:
     (unet_cfg, unet_params, vae_cfg, vae_params, clip_cfg, clip_params, version).
-    Mirrors the manager's model_dict split (manager.py:18-23)."""
+    Mirrors the manager's model_dict split (manager.py:18-23).
+    ``use_ema``: prefer EMA shadow weights when present."""
     sd = load_state_dict(path)
+    if use_ema:
+        sd = apply_ema_weights(sd)
     version = detect_sd_version(sd)
     if version == "sd2":
         in_ch = sd["model.diffusion_model.input_blocks.0.0.weight"].shape[1]

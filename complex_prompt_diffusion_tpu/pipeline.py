@@ -149,6 +149,18 @@ class RenderConfig:
     denoising_strength: float = 0.75
     guidance: GuidanceConfig = GuidanceConfig()
 
+    def __post_init__(self):
+        # convenience: RenderConfig(guidance_scale=9) without an explicit
+        # GuidanceConfig propagates into the guidance config
+        if (
+            self.guidance == GuidanceConfig()
+            and self.guidance_scale != GuidanceConfig().guidance_scale
+        ):
+            object.__setattr__(
+                self, "guidance",
+                dataclasses.replace(self.guidance, guidance_scale=self.guidance_scale),
+            )
+
     @property
     def latent_shape(self) -> Tuple[int, int, int]:
         return (self.height // 8, self.width // 8, 4)
@@ -227,14 +239,32 @@ def _build_sampler_fn(
         s1m_j = jnp.asarray(itables.sqrt_one_minus_alphas_cumprod_t, jnp.float32)
         gcfg = cfg.guidance
 
+        # v-parameterization (SD 2.1-v): convert the model's v output to eps
+        # via eps = sqrt(ac_t) v + sqrt(1-ac_t) x (discrete.py:739-743)
+        v_param = bundle.parameterization == "v"
+        sqrt_ac = jnp.asarray(bundle.tables.sqrt_alphas_cumprod, jnp.float32)
+        sqrt_1m = jnp.asarray(
+            bundle.tables.sqrt_one_minus_alphas_cumprod, jnp.float32
+        )
+
+        def _to_eps(out, x, t):
+            if not v_param:
+                return out
+            ti = jnp.clip(jnp.asarray(t).astype(jnp.int32), 0, sqrt_ac.shape[0] - 1)
+            a = jnp.take(sqrt_ac, ti).reshape(-1, 1, 1, 1)
+            b = jnp.take(sqrt_1m, ti).reshape(-1, 1, 1, 1)
+            return a * out + b * x[..., : out.shape[-1]]
+
         def run(unet_params, spec, x_T, key, noises, depth_mask, guide_args):
             def unet_eps(x, t, ctx):
-                return M.unet_apply(bundle.unet_cfg, unet_params, x, t, ctx)
+                out = M.unet_apply(bundle.unet_cfg, unet_params, x, t, ctx)
+                return _to_eps(out, x, t)
 
             def unet_eps_skips(x, t, ctx):
-                return M.unet_apply(
+                out, skips = M.unet_apply(
                     bundle.unet_cfg, unet_params, x, t, ctx, return_skips=True
                 )
+                return _to_eps(out, x, t), skips
 
             base_eps, _ = make_denoiser(
                 unet_eps, spec, gcfg=gcfg, depth_mask=depth_mask
@@ -528,3 +558,47 @@ def img2img(
         )
     images = decode_latents(bundle, latents) if decode else None
     return images, latents
+
+
+def depth2img(
+    bundle: ModelBundle,
+    image: np.ndarray,
+    prompt: Union[str, GuidanceSpec],
+    negative_prompt: str = "",
+    cfg: RenderConfig = RenderConfig(),
+    *,
+    estimator=None,
+    key: Optional[jax.Array] = None,
+    decode: bool = True,
+):
+    """Depth-conditioned img2img (LatentDepth2ImageDiffusion semantics,
+    ddpm.py:1852 + the depth-mask concat hook ddim.py:274-276): estimate a
+    depth map from the input image, resize to the latent grid, feed it as
+    the UNet's 5th input channel, and run img2img."""
+    from complex_prompt_diffusion_tpu.depth import DepthManager
+
+    mgr = DepthManager(estimator=estimator, size=(cfg.height // 8, cfg.width // 8))
+    depth_mask = mgr.conditioning_channel(image)
+    return img2img(
+        bundle, image, prompt, negative_prompt, cfg,
+        key=key, depth_mask=depth_mask, decode=decode,
+    )
+
+
+def render_config_to_json(cfg: RenderConfig) -> dict:
+    """Session-state serialization (the reference round-trips sampler configs
+    through JSON, diffusion.py:67-82)."""
+    data = dataclasses.asdict(cfg)
+    data["guidance"] = dataclasses.asdict(cfg.guidance)
+    return data
+
+
+def render_config_from_json(data: dict) -> RenderConfig:
+    data = dict(data)
+    g = data.pop("guidance", {})
+    known_g = {f.name for f in dataclasses.fields(GuidanceConfig)}
+    known = {f.name for f in dataclasses.fields(RenderConfig)} - {"guidance"}
+    return RenderConfig(
+        guidance=GuidanceConfig(**{k: v for k, v in g.items() if k in known_g}),
+        **{k: v for k, v in data.items() if k in known},
+    )

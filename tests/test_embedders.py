@@ -1,0 +1,82 @@
+"""T5 / generic transformer encoder tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from complex_prompt_diffusion_tpu.models import embedders as E
+
+
+class TestT5:
+    def test_shapes(self):
+        cfg = E.T5Config.tiny()
+        params = E.init_t5_encoder(jax.random.PRNGKey(0), cfg)
+        tokens = jnp.asarray([[1, 5, 9, 2, 0, 0]])
+        out = E.t5_encode(cfg, params, tokens)
+        assert out.shape == (1, 6, 64)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_bidirectional(self):
+        # changing a LATER token must change EARLIER positions (no causal mask)
+        cfg = E.T5Config.tiny()
+        params = E.init_t5_encoder(jax.random.PRNGKey(0), cfg)
+        t1 = jnp.asarray([[1, 5, 9, 2]])
+        t2 = t1.at[0, 3].set(700)
+        z1 = E.t5_encode(cfg, params, t1)
+        z2 = E.t5_encode(cfg, params, t2)
+        assert not np.allclose(np.asarray(z1[:, 0]), np.asarray(z2[:, 0]))
+
+    def test_relative_position_bucket(self):
+        rel = np.array([[-3, -1, 0, 1, 3]])
+        buckets = E.relative_position_bucket(rel, 32, 128)
+        assert buckets.shape == rel.shape
+        # positive (future) positions land in the upper half
+        assert buckets[0, 3] >= 16
+        assert buckets[0, 1] < 16
+        assert buckets[0, 2] == 0
+
+    def test_hf_converter_shapes(self):
+        # fabricate an HF-style state dict and convert
+        cfg = E.T5Config.tiny()
+        rng = np.random.default_rng(0)
+        d, dkv, h, dff = cfg.d_model, cfg.d_kv, cfg.num_heads, cfg.d_ff
+        sd = {
+            "shared.weight": rng.normal(size=(cfg.vocab_size, d)).astype(np.float32),
+            "encoder.final_layer_norm.weight": np.ones(d, np.float32),
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight":
+                rng.normal(size=(cfg.relative_buckets, h)).astype(np.float32),
+        }
+        for i in range(cfg.num_layers):
+            b = f"encoder.block.{i}.layer"
+            sd[f"{b}.0.layer_norm.weight"] = np.ones(d, np.float32)
+            for n in "qkv":
+                sd[f"{b}.0.SelfAttention.{n}.weight"] = rng.normal(size=(h * dkv, d)).astype(np.float32)
+            sd[f"{b}.0.SelfAttention.o.weight"] = rng.normal(size=(d, h * dkv)).astype(np.float32)
+            sd[f"{b}.1.layer_norm.weight"] = np.ones(d, np.float32)
+            sd[f"{b}.1.DenseReluDense.wi_0.weight"] = rng.normal(size=(dff, d)).astype(np.float32)
+            sd[f"{b}.1.DenseReluDense.wi_1.weight"] = rng.normal(size=(dff, d)).astype(np.float32)
+            sd[f"{b}.1.DenseReluDense.wo.weight"] = rng.normal(size=(d, dff)).astype(np.float32)
+        params = E.convert_t5_hf(cfg, sd)
+        out = E.t5_encode(cfg, params, jnp.asarray([[1, 2, 3]]))
+        assert out.shape == (1, 3, d)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTransformerText:
+    def test_shapes_and_determinism(self):
+        cfg = E.TransformerTextConfig.tiny()
+        params = E.init_transformer_text(jax.random.PRNGKey(0), cfg)
+        tokens = jnp.asarray([[3, 1, 4, 1, 5]])
+        a = E.transformer_text_apply(cfg, params, tokens)
+        b = E.transformer_text_apply(cfg, params, tokens)
+        assert a.shape == (1, 5, 64)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_clip_t5_concat(self):
+        outs = E.clip_t5_encode(
+            lambda t: jnp.ones((1, 3, 8)),
+            lambda t: jnp.zeros((1, 4, 16)),
+            None, None,
+        )
+        assert outs[0].shape == (1, 3, 8) and outs[1].shape == (1, 4, 16)

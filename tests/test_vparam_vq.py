@@ -1,0 +1,72 @@
+"""v-parameterization sampling + VQ first-stage tests."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from complex_prompt_diffusion_tpu import models as M
+from complex_prompt_diffusion_tpu.models import vae as V
+from complex_prompt_diffusion_tpu.pipeline import ModelBundle, RenderConfig, txt2img
+
+
+class TestVParam:
+    def test_v_model_samples(self):
+        b = ModelBundle.random("tiny")
+        b = dataclasses.replace(b, parameterization="v")
+        cfg = RenderConfig(steps=3, width=32, height=32)
+        _, lat = txt2img(b, "a cat", cfg=cfg, decode=False)
+        assert np.isfinite(np.asarray(lat)).all()
+
+    def test_v_differs_from_eps(self):
+        b_eps = ModelBundle.random("tiny")
+        b_v = dataclasses.replace(b_eps, parameterization="v", _jit_cache={})
+        cfg = RenderConfig(steps=3, width=32, height=32)
+        _, lat_e = txt2img(b_eps, "a cat", cfg=cfg, decode=False)
+        _, lat_v = txt2img(b_v, "a cat", cfg=cfg, decode=False)
+        assert not np.allclose(np.asarray(lat_e), np.asarray(lat_v))
+
+    def test_v_sigma_family(self):
+        b = ModelBundle.random("tiny")
+        b = dataclasses.replace(b, parameterization="v")
+        cfg = RenderConfig(steps=3, width=32, height=32, sampler="Euler")
+        _, lat = txt2img(b, "a cat", cfg=cfg, decode=False)
+        assert np.isfinite(np.asarray(lat)).all()
+
+
+class TestVQModel:
+    def test_quantize_roundtrip(self):
+        qp = V.init_vq_quantizer(jax.random.PRNGKey(0), n_embed=64, embed_dim=4)
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 4)) * 0.01
+        z_q, loss, idx = V.vq_quantize(qp, z)
+        assert z_q.shape == z.shape
+        assert idx.shape == (1, 4, 4)
+        assert float(loss) >= 0
+        # quantized values are codebook entries (up to straight-through)
+        codes = np.asarray(qp["embedding"])
+        flat = np.asarray(z + jax.lax.stop_gradient(z_q - z)).reshape(-1, 4)
+        idx_flat = np.asarray(idx).reshape(-1)
+        np.testing.assert_allclose(flat, codes[idx_flat], atol=1e-6)
+
+    def test_vq_encode_decode(self):
+        cfg = M.VAEConfig.tiny()
+        params = V.init_vq_model(jax.random.PRNGKey(0), cfg, n_embed=128)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        z_q, loss, idx = V.vq_encode(cfg, params, x)
+        assert z_q.shape[1:] == (16, 16, 4)
+        img = V.vq_decode(cfg, params, z_q)
+        assert img.shape == (1, 32, 32, 3)
+        assert np.isfinite(np.asarray(img)).all()
+
+    def test_straight_through_grads(self):
+        qp = V.init_vq_quantizer(jax.random.PRNGKey(0), 64, 4)
+
+        def loss_fn(z):
+            z_q, _, _ = V.vq_quantize(qp, z)
+            return jnp.sum(z_q**2)
+
+        g = jax.grad(loss_fn)(jnp.ones((1, 2, 2, 4)) * 0.01)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0  # gradients pass through
