@@ -602,3 +602,69 @@ def render_config_from_json(data: dict) -> RenderConfig:
         guidance=GuidanceConfig(**{k: v for k, v in g.items() if k in known_g}),
         **{k: v for k, v in data.items() if k in known},
     )
+
+
+def save_bundle(bundle: ModelBundle, path: str):
+    """Persist a bundle's params (orbax PyTree checkpoint) + configs (JSON).
+
+    The session-state counterpart of the reference's torch pickles
+    (manager.py:18, SURVEY §5 checkpoint/resume)."""
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    os.makedirs(path, exist_ok=True)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(
+        os.path.join(path, "params"),
+        {
+            "unet": bundle.unet_params,
+            "vae": bundle.vae_params,
+            "clip": bundle.clip_params,
+        },
+        force=True,
+    )
+    meta = {
+        "version": bundle.version,
+        "parameterization": bundle.parameterization,
+        "clip_layer": bundle.clip_layer,
+        "unet_cfg": dataclasses.asdict(bundle.unet_cfg),
+        "vae_cfg": dataclasses.asdict(bundle.vae_cfg),
+        "clip_cfg": dataclasses.asdict(bundle.clip_cfg),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_bundle(path: str, vocab_path: Optional[str] = None) -> ModelBundle:
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+
+    def _cfg(cls, data):
+        fields = {f.name for f in dataclasses.fields(cls)}
+        data = {k: (tuple(v) if isinstance(v, list) else v) for k, v in data.items()}
+        return cls(**{k: v for k, v in data.items() if k in fields})
+
+    ckpt = ocp.PyTreeCheckpointer()
+    params = ckpt.restore(os.path.join(path, "params"))
+    return ModelBundle(
+        version=meta["version"],
+        unet_cfg=_cfg(M.UNetConfig, meta["unet_cfg"]),
+        unet_params=params["unet"],
+        vae_cfg=_cfg(M.VAEConfig, meta["vae_cfg"]),
+        vae_params=params["vae"],
+        clip_cfg=_cfg(M.CLIPTextConfig, meta["clip_cfg"]),
+        clip_params=params["clip"],
+        tokenizer=get_tokenizer(
+            vocab_path, pad_with_eos=(meta["version"] == "sd1")
+        ),
+        tables=S.make_diffusion_tables(),
+        parameterization=meta["parameterization"],
+        clip_layer=meta["clip_layer"],
+    )

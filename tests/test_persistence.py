@@ -1,0 +1,87 @@
+"""Bundle save/load + depth2img + animation loop tests."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from complex_prompt_diffusion_tpu.pipeline import (
+    ModelBundle,
+    RenderConfig,
+    depth2img,
+    load_bundle,
+    render_config_from_json,
+    render_config_to_json,
+    save_bundle,
+    txt2img,
+)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return ModelBundle.random("tiny")
+
+
+class TestPersistence:
+    def test_bundle_roundtrip(self, bundle, tmp_path):
+        path = str(tmp_path / "bundle")
+        save_bundle(bundle, path)
+        loaded = load_bundle(path)
+        assert loaded.unet_cfg == bundle.unet_cfg
+        cfg = RenderConfig(steps=2, width=32, height=32)
+        _, a = txt2img(bundle, "a cat", cfg=cfg, decode=False)
+        _, b = txt2img(loaded, "a cat", cfg=cfg, decode=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_render_config_json(self):
+        from complex_prompt_diffusion_tpu.guidance import GuidanceConfig
+
+        cfg = RenderConfig(
+            steps=7, sampler="Euler", width=256,
+            guidance=GuidanceConfig(guidance_scale=9.0, uc_blur=True),
+        )
+        data = render_config_to_json(cfg)
+        back = render_config_from_json(data)
+        assert back == cfg
+
+    def test_guidance_scale_shortcut(self):
+        cfg = RenderConfig(guidance_scale=9.0)
+        assert cfg.guidance.guidance_scale == 9.0
+
+
+class TestDepth2Img:
+    def test_depth2img_runs(self):
+        import dataclasses
+
+        from complex_prompt_diffusion_tpu import models as M
+
+        unet_cfg = dataclasses.replace(
+            M.UNetConfig.tiny(context_dim=64), in_channels=5, dtype="float32"
+        )
+        b = ModelBundle.random("tiny")
+        import jax
+
+        b = dataclasses.replace(
+            b, unet_cfg=unet_cfg,
+            unet_params=M.init_unet(jax.random.PRNGKey(1), unet_cfg),
+        )
+        img = np.random.default_rng(0).integers(0, 255, (8, 8, 3), np.uint8)
+        out, lat = depth2img(
+            b, img, "a mountain", cfg=RenderConfig(steps=3, width=32, height=32)
+        )
+        assert np.isfinite(np.asarray(lat)).all()
+
+
+class TestAnimationLoop:
+    def test_two_frames_with_warps(self, bundle):
+        from complex_prompt_diffusion_tpu.animation import AnimArgs, render_animation
+        from complex_prompt_diffusion_tpu.prompts import ComplexPrompt
+
+        cfg = RenderConfig(steps=2, width=32, height=32, denoising_strength=0.5)
+        # tiny VAE decodes 4x4 latents to 8x8 frames
+        args = AnimArgs(w=8, h=8, max_frames=4, zoom="0: (1.05)", angle="0: (2)")
+        prompt = ComplexPrompt("a corridor", bundle=bundle)
+        frames = render_animation(
+            bundle, lambda i: prompt, cfg, args, n_frames=2, seed=3
+        )
+        assert len(frames) == 2
+        assert frames[0].shape == (8, 8, 3)
