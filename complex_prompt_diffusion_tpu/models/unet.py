@@ -301,16 +301,35 @@ def _apply_res(p, cfg: UNetConfig, h, emb, mode: str):
     return x + hh
 
 
-def _cross_attention(p, x, context, heads: int):
+def _cross_attention(p, x, context, heads: int, collector=None):
     ctx = x if context is None else context
     q = L.linear(p["to_q"], x)
     k = L.linear(p["to_k"], ctx)
     v = L.linear(p["to_v"], ctx)
-    out = mha(q, k, v, num_heads=heads)
+    if collector is not None and context is not None:
+        # DAAM-style probability capture (reference attention.py:206-277):
+        # explicit softmax path so the per-token maps exist; used on demand,
+        # not in the sampling hot loop
+        b, sq, inner = q.shape
+        d = inner // heads
+
+        def split(z):
+            return z.reshape(b, z.shape[1], heads, d).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split(q), split(k), split(v)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) * (d**-0.5)
+        probs = jax.nn.softmax(scores, axis=-1)
+        collector.append(probs)  # [B, heads, HW, L]
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(vh.dtype), vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+    else:
+        out = mha(q, k, v, num_heads=heads)
     return L.linear(p["to_out"], out)
 
 
-def _apply_attn(p, cfg: UNetConfig, h, context, heads, dim_head):
+def _apply_attn(p, cfg: UNetConfig, h, context, heads, dim_head, collector=None):
     n, hh_, ww_, c = h.shape
     inner = heads * dim_head
     x = L.group_norm_p(p["norm"], h, eps=1e-6)
@@ -322,7 +341,10 @@ def _apply_attn(p, cfg: UNetConfig, h, context, heads, dim_head):
         x = x.reshape(n, hh_ * ww_, inner)
     for blk in p["blocks"]:
         x = x + _cross_attention(blk["attn1"], L.layer_norm(blk["norm1"], x), None, heads)
-        x = x + _cross_attention(blk["attn2"], L.layer_norm(blk["norm2"], x), context, heads)
+        x = x + _cross_attention(
+            blk["attn2"], L.layer_norm(blk["norm2"], x), context, heads,
+            collector=collector,
+        )
         y = L.layer_norm(blk["norm3"], x)
         y = L.linear(blk["ff"]["proj"], y)
         y, gate = jnp.split(y, 2, axis=-1)
@@ -337,7 +359,7 @@ def _apply_attn(p, cfg: UNetConfig, h, context, heads, dim_head):
     return x + h
 
 
-def _apply_block(block_plan, block_params, cfg, h, emb, context):
+def _apply_block(block_plan, block_params, cfg, h, emb, context, collector=None):
     for desc, p in zip(block_plan, block_params):
         kind = desc[0]
         if kind == "conv_in":
@@ -345,7 +367,7 @@ def _apply_block(block_plan, block_params, cfg, h, emb, context):
         elif kind == "res":
             h = _apply_res(p, cfg, h, emb, desc[3])
         elif kind == "attn":
-            h = _apply_attn(p, cfg, h, context, desc[2], desc[3])
+            h = _apply_attn(p, cfg, h, context, desc[2], desc[3], collector)
         elif kind == "down":
             h = L.conv2d(p, h, stride=2)
         elif kind == "up":
@@ -369,8 +391,15 @@ def unet_apply(
     return_feats: bool = False,
     inject_feats=None,
     inject_feats_stop: int = 10,
+    collect_attn_maps: bool = False,
 ):
     """Predict eps (or v) for latents ``x`` [N,H,W,C] at ``timesteps`` [N].
+
+    ``collect_attn_maps=True`` additionally returns the per-layer
+    cross-attention probability maps ([B, heads, HW, L] per site, encoder
+    -> middle -> decoder order) for DAAM-style word heat maps
+    (reference attention.py:30-67,206-277) — this uses the explicit softmax
+    path, so reserve it for analysis passes, not the sampling loop.
 
     ``return_skips`` / ``inject_skips`` mirror the reference's
     return_attn / inject_attns (unet.py:799-815): the popped encoder skip
@@ -395,11 +424,14 @@ def unet_apply(
     if context is not None:
         context = context.astype(dtype)
 
+    collector = [] if collect_attn_maps else None
     hs = []
     for block_plan, block_params in zip(input_plan, params["input_blocks"]):
-        h = _apply_block(block_plan, block_params, cfg, h, emb, context)
+        h = _apply_block(block_plan, block_params, cfg, h, emb, context, collector)
         hs.append(h)
-    h = _apply_block(middle_plan, params["middle_block"], cfg, h, emb, context)
+    h = _apply_block(
+        middle_plan, params["middle_block"], cfg, h, emb, context, collector
+    )
 
     skips_out = []
     feats_out = []
@@ -414,17 +446,20 @@ def unet_apply(
         if inject_feats is not None and i < inject_feats_stop:
             h = inject_feats[i]
         h = jnp.concatenate([h, skip], axis=-1)
-        h = _apply_block(block_plan, block_params, cfg, h, emb, context)
+        h = _apply_block(block_plan, block_params, cfg, h, emb, context, collector)
         if return_feats:
             feats_out.append(h)
 
     h = L.group_norm_silu_p(params["out"]["norm"], h)
     out = L.conv2d(params["out"]["conv"], h).astype(jnp.float32)
 
-    if return_skips and return_feats:
-        return out, tuple(skips_out), tuple(feats_out)
+    extras = []
     if return_skips:
-        return out, tuple(skips_out)
+        extras.append(tuple(skips_out))
     if return_feats:
-        return out, tuple(feats_out)
+        extras.append(tuple(feats_out))
+    if collect_attn_maps:
+        extras.append(tuple(collector))
+    if extras:
+        return (out, *extras)
     return out

@@ -222,3 +222,28 @@ class TestNullInversion:
         assert unconds.shape[0] == it.num_steps
         assert np.isfinite(np.asarray(x_T)).all()
         assert np.isfinite(np.asarray(unconds)).all()
+
+
+class TestDAAM:
+    def test_heat_maps(self, bundle):
+        import jax
+        import jax.numpy as jnp
+
+        from complex_prompt_diffusion_tpu.guidance.daam import word_heat_map
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4))
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 7, 64))
+        out, maps = M.unet_apply(
+            bundle.unet_cfg, bundle.unet_params, x, jnp.asarray([5.0]), ctx,
+            collect_attn_maps=True,
+        )
+        assert len(maps) > 0
+        for m in maps:
+            assert m.shape[0] == 1 and m.shape[-1] == 7
+            # probabilities sum to 1 over tokens
+            np.testing.assert_allclose(
+                np.asarray(m.sum(axis=-1)), 1.0, atol=1e-3
+            )
+        hm = word_heat_map(maps, [2, 3], out_size=8)
+        assert hm.shape == (8, 8)
+        assert 0.0 <= float(hm.min()) and float(hm.max()) <= 1.0
