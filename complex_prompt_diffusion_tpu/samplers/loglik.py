@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["log_likelihood"]
+__all__ = ["log_likelihood", "sample_log_likelihood"]
 
 
 def log_likelihood(
@@ -54,8 +54,12 @@ def log_likelihood(
         def d_of(xx):
             return (xx - den_fn(xx, sigma, uc)) / sigma
 
-        d, jvp_v = jax.jvp(d_of, (x,), (v,))
-        div = jnp.sum((v * jvp_v).reshape(b, -1), axis=1)
+        # Hutchinson via VJP (v^T J, then dot v) — exactly the reference's
+        # autograd.grad((d*v).sum(), x) form (log.py:43-45); reverse mode
+        # also composes with the Pallas kernels' custom VJPs
+        d, vjp_fn = jax.vjp(d_of, x)
+        (vt_j,) = vjp_fn(v)
+        div = jnp.sum((v * vt_j).reshape(b, -1), axis=1)
         return d, div
 
     def body(carry, i):
@@ -81,3 +85,23 @@ def log_likelihood(
         axis=1,
     )
     return ll_prior + delta_ll
+
+
+def sample_log_likelihood(
+    den, x, sigmas, uc_scales=1.0, *, key=None, noises=None, steps=None
+):
+    """Sigma-family adapter: registry entry "Log" (reference log.py:12-17
+    registers the estimator as a sampler). Integrates over the given sigma
+    schedule's range and returns (log_likelihoods [B], None)."""
+    import numpy as _np
+
+    sig = _np.asarray(sigmas, _np.float64)
+    sig = sig[sig > 0]
+    uc = float(_np.asarray(uc_scales).ravel()[0])
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ll = log_likelihood(
+        den, x, float(sig.min()), float(sig.max()),
+        key=key, steps=steps or max(20, len(sig)), uc_scale=uc,
+    )
+    return ll, None

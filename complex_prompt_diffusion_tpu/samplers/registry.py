@@ -61,7 +61,7 @@ register("DPM++ 2s Ancestral", "sigma")(_k.sample_dpmpp_2s_ancestral)
 register("LMS", "sigma")(_k.sample_lms)
 register("DPM Fast", "sigma")(_k.sample_dpm_fast)
 register("DPM Adaptive", "sigma")(_dpma.sample_dpm_adaptive)
-register("Log", "sigma")(_loglik.log_likelihood)  # log-likelihood estimator
+register("Log", "sigma")(_loglik.sample_log_likelihood)  # log-likelihood estimator
 
 # continuous-time solver family (reference registers "dpm_solver",
 # samplers/solver.py:20; UniPC ships unregistered in the reference)
