@@ -424,6 +424,17 @@ def sample_latents(
     key_init, key_steps = jax.random.split(key)
     shape = (cfg.batch_size,) + cfg.latent_shape
 
+    # the UNet ladder needs the latent grid divisible by 2^(levels-1)
+    # (otherwise skip-connection shapes mismatch mid-network)
+    div = 2 ** (len(bundle.unet_cfg.channel_mult) - 1)
+    lh, lw = cfg.latent_shape[0], cfg.latent_shape[1]
+    if lh % div or lw % div:
+        raise ValueError(
+            f"width/height must give latents divisible by {div} "
+            f"(got latent {lh}x{lw} from {cfg.height}x{cfg.width}); "
+            f"use multiples of {8 * div} pixels"
+        )
+
     if clip_guidance is not None:
         vision_cfg, vision_params, text_emb, cg_cfg = clip_guidance
         cg_static = (vision_cfg, cg_cfg)
