@@ -353,3 +353,93 @@ def vq_encode(cfg: VAEConfig, params, x, quantize: bool = True):
 def vq_decode(cfg: VAEConfig, params, z_q):
     """VQModel.decode (autoencoder.py:572-580)."""
     return vae_decode(cfg, params, z_q)
+
+
+# --------------------------------------------------------------------------
+# Tiled encode/decode for large canvases
+# (the reference's split_input_params fold/unfold path,
+#  ddpm.py:799-1077 decode/encode_first_stage — reimplemented as explicit
+#  overlapping tiles with smooth blend weights)
+# --------------------------------------------------------------------------
+
+
+def _tile_weights(th: int, tw: int) -> jnp.ndarray:
+    """Smooth blending window (the reference's delta_border weighting,
+    ddpm.py:828-845): weight falls off toward tile borders."""
+    import numpy as np
+
+    def ramp(n):
+        x = (np.arange(n) + 0.5) / n
+        return np.minimum(x, 1.0 - x) * 2.0  # 0..1..0 triangle
+
+    w = np.clip(np.outer(ramp(th), ramp(tw)), 0.01, 0.5)
+    return jnp.asarray(w[None, :, :, None], jnp.float32)
+
+
+def vae_decode_tiled(
+    cfg: VAEConfig,
+    params,
+    z: jax.Array,
+    tile: int = 64,
+    overlap: int = 16,
+) -> jax.Array:
+    """Decode latents tile by tile with overlapping blending — bounds peak
+    activation memory for >1k-pixel canvases (the reference's answer is
+    fold/unfold, ddpm.py:995-1077; here each tile is one jit'd decode)."""
+    n, h, w, c = z.shape
+    if h <= tile and w <= tile:
+        return vae_decode(cfg, params, z)
+    up = 2 ** (len(cfg.ch_mult) - 1)
+    stride = tile - overlap
+    out = jnp.zeros((n, h * up, w * up, cfg.out_channels), jnp.float32)
+    acc = jnp.zeros((n, h * up, w * up, 1), jnp.float32)
+    ys = sorted({min(y, max(h - tile, 0)) for y in range(0, h, stride)})
+    xs = sorted({min(x, max(w - tile, 0)) for x in range(0, w, stride)})
+    for y0 in ys:
+        for x0 in xs:
+            th = min(tile, h - y0)
+            tw = min(tile, w - x0)
+            patch = z[:, y0 : y0 + th, x0 : x0 + tw]
+            dec = vae_decode(cfg, params, patch)
+            wgt = _tile_weights(th * up, tw * up)
+            out = out.at[:, y0 * up : (y0 + th) * up, x0 * up : (x0 + tw) * up].add(
+                dec * wgt
+            )
+            acc = acc.at[:, y0 * up : (y0 + th) * up, x0 * up : (x0 + tw) * up].add(
+                wgt
+            )
+    return out / jnp.maximum(acc, 1e-8)
+
+
+def vae_encode_tiled(
+    cfg: VAEConfig,
+    params,
+    x: jax.Array,
+    tile: int = 512,
+    overlap: int = 128,
+):
+    """Tiled encoder counterpart (returns the posterior MEAN — tile blending
+    of stochastic draws would decorrelate the noise)."""
+    n, h, w, c = x.shape
+    if h <= tile and w <= tile:
+        return vae_encode(cfg, params, x)
+    down = 2 ** (len(cfg.ch_mult) - 1)
+    stride = tile - overlap
+    zc = cfg.embed_dim
+    out = jnp.zeros((n, h // down, w // down, zc), jnp.float32)
+    acc = jnp.zeros((n, h // down, w // down, 1), jnp.float32)
+    ys = sorted({min(y, max(h - tile, 0)) for y in range(0, h, stride)})
+    xs = sorted({min(x0, max(w - tile, 0)) for x0 in range(0, w, stride)})
+    for y0 in ys:
+        for x0 in xs:
+            th = min(tile, h - y0)
+            tw = min(tile, w - x0)
+            post = vae_encode(cfg, params, x[:, y0 : y0 + th, x0 : x0 + tw])
+            mean = post.mean
+            ly, lx = y0 // down, x0 // down
+            lh, lw = th // down, tw // down
+            wgt = _tile_weights(lh, lw)
+            out = out.at[:, ly : ly + lh, lx : lx + lw].add(mean * wgt)
+            acc = acc.at[:, ly : ly + lh, lx : lx + lw].add(wgt)
+    mean = out / jnp.maximum(acc, 1e-8)
+    return DiagonalGaussian(mean, jnp.full_like(mean, -30.0))

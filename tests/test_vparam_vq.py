@@ -70,3 +70,49 @@ class TestVQModel:
         g = jax.grad(loss_fn)(jnp.ones((1, 2, 2, 4)) * 0.01)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0  # gradients pass through
+
+
+class TestTiledVAE:
+    def test_tiled_decode_matches_full(self):
+        from complex_prompt_diffusion_tpu.models.vae import (
+            vae_decode,
+            vae_decode_tiled,
+        )
+
+        cfg = M.VAEConfig.tiny()
+        params = M.init_vae(jax.random.PRNGKey(0), cfg)
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 24, 24, 4)) * 0.5
+        full = vae_decode(cfg, params, z)
+        tiled = vae_decode_tiled(cfg, params, z, tile=16, overlap=8)
+        assert tiled.shape == full.shape
+        # interior matches closely; borders of tiles may differ slightly
+        diff = np.abs(np.asarray(tiled) - np.asarray(full))
+        assert np.median(diff) < 0.05
+        assert np.isfinite(np.asarray(tiled)).all()
+
+    def test_tiled_encode_matches_full_mean(self):
+        from complex_prompt_diffusion_tpu.models.vae import (
+            vae_encode,
+            vae_encode_tiled,
+        )
+
+        cfg = M.VAEConfig.tiny()
+        params = M.init_vae(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 48, 48, 3))
+        full = vae_encode(cfg, params, x).mean
+        tiled = vae_encode_tiled(cfg, params, x, tile=32, overlap=16).mean
+        assert tiled.shape == full.shape
+        diff = np.abs(np.asarray(tiled) - np.asarray(full))
+        assert np.median(diff) < 0.1
+
+    def test_small_input_passthrough(self):
+        from complex_prompt_diffusion_tpu.models.vae import vae_decode, vae_decode_tiled
+
+        cfg = M.VAEConfig.tiny()
+        params = M.init_vae(jax.random.PRNGKey(0), cfg)
+        z = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+        np.testing.assert_allclose(
+            np.asarray(vae_decode_tiled(cfg, params, z, tile=64)),
+            np.asarray(vae_decode(cfg, params, z)),
+            atol=1e-6,
+        )
