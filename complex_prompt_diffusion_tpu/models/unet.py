@@ -69,6 +69,21 @@ class UNetConfig:
         )
 
     @staticmethod
+    def sd_upscaler() -> "UNetConfig":
+        """LatentUpscaleDiffusion (ddpm.py:1319 / x4-upscaler config):
+        7-channel input (4 latent + 3 downscaled-image concat), noise-level
+        conditioning via the class-embedding pathway (num_classes = 1000
+        noise-aug levels, conditioning key "adm"/hybrid-adm)."""
+        return UNetConfig(
+            in_channels=7,
+            num_heads=-1,
+            num_head_channels=64,
+            context_dim=1024,
+            use_linear_in_transformer=True,
+            num_classes=1000,
+        )
+
+    @staticmethod
     def sd2_depth() -> "UNetConfig":
         """v2-midas-inference.yaml: depth2img, 5-channel latent input."""
         return UNetConfig(

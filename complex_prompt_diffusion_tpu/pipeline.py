@@ -679,3 +679,50 @@ def load_bundle(path: str, vocab_path: Optional[str] = None) -> ModelBundle:
         parameterization=meta["parameterization"],
         clip_layer=meta["clip_layer"],
     )
+
+
+def upscale_latents(
+    bundle: ModelBundle,
+    low_res_image: np.ndarray,
+    prompt: Union[str, GuidanceSpec],
+    cfg: RenderConfig = RenderConfig(),
+    *,
+    noise_level: int = 20,
+    key: Optional[jax.Array] = None,
+    decode: bool = True,
+):
+    """Latent upscaler pipeline (LatentUpscaleDiffusion semantics,
+    ddpm.py:1319-1658): the low-res image is noise-augmented to
+    ``noise_level``, concatenated channel-wise to the latent (hybrid
+    conditioning), and the level is fed through the class-embedding path.
+
+    Requires a bundle whose UNet is UNetConfig.sd_upscaler()-shaped. The
+    low-res image conditions at latent resolution (H/8 x W/8 of the output).
+    """
+    spec = (
+        prompt
+        if isinstance(prompt, GuidanceSpec)
+        else make_guidance_spec(bundle, prompt)
+    )
+    key = jax.random.PRNGKey(cfg.seed) if key is None else key
+    k_aug, k_s = jax.random.split(key)
+
+    img = jnp.asarray(low_res_image, jnp.float32)
+    if img.ndim == 3:
+        img = img[None]
+    if float(img.max()) > 2.0:
+        img = img / 127.5 - 1.0
+    lh, lw = cfg.latent_shape[0], cfg.latent_shape[1]
+    img = jax.image.resize(img, (img.shape[0], lh, lw, img.shape[-1]), "bilinear")
+
+    # noise augmentation at the given level (q_sample on the concat channels)
+    tables = bundle.tables
+    a = float(np.sqrt(tables.alphas_cumprod[noise_level]))
+    s1m = float(np.sqrt(1 - tables.alphas_cumprod[noise_level]))
+    img_aug = a * img + s1m * jax.random.normal(k_aug, img.shape, jnp.float32)
+
+    latents = sample_latents(
+        bundle, spec, cfg, key=k_s, depth_mask=img_aug[0],
+    )
+    images = decode_latents(bundle, latents) if decode else None
+    return images, latents
