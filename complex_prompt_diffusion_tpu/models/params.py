@@ -352,6 +352,67 @@ def convert_clip_openclip(
     return params
 
 
+def attach_hypernetwork(unet_params, hyper_sd: StateDict, multiplier: float = 1.0):
+    """Attach AUTOMATIC1111-style hypernetwork modules to the cross-attention
+    k/v projections (the hook the reference installs per CrossAttention,
+    attention.py:139-144). ``hyper_sd`` maps context-dim -> two-layer MLP
+    weights: {dim: {"k": {"linear1","linear2"}, "v": {...}}} with torch
+    [out,in] layouts, or flat '<dim>.k.linear1.weight' keys.
+
+    Returns a NEW params pytree with "hyper_k"/"hyper_v" entries added to
+    every cross-attn block whose context dim has hypernetwork weights.
+    """
+    import copy
+
+    # normalize flat layouts
+    by_dim: Dict[int, Dict[str, Dict[str, Array]]] = {}
+    for k, v in hyper_sd.items():
+        if isinstance(v, dict):
+            by_dim[int(k)] = v
+        else:
+            parts = k.split(".")  # dim.k.linear1.weight
+            dim, kv, lin, kind = int(parts[0]), parts[1], parts[2], parts[3]
+            slot = by_dim.setdefault(dim, {}).setdefault(kv, {}).setdefault(lin, {})
+            slot["kernel" if kind == "weight" else "bias"] = (
+                v.T if kind == "weight" else v
+            )
+
+    for dim, kvs in by_dim.items():
+        for kv, mlp in kvs.items():
+            missing = {"linear1", "linear2"} - set(mlp)
+            if missing:
+                raise ValueError(
+                    f"hypernetwork for dim {dim} slot {kv!r} is missing "
+                    f"{sorted(missing)} (each slot needs linear1 + linear2 "
+                    "weight/bias pairs)"
+                )
+
+    params = copy.deepcopy(unet_params)
+
+    def visit(blocks):
+        for block in blocks:
+            for layer in block if isinstance(block, list) else [block]:
+                if not isinstance(layer, dict) or "blocks" not in layer:
+                    continue
+                for tb in layer["blocks"]:
+                    attn2 = tb["attn2"]
+                    dim = attn2["to_k"]["kernel"].shape[0]
+                    if dim in by_dim:
+                        for kv, name in (("k", "hyper_k"), ("v", "hyper_v")):
+                            if kv in by_dim[dim]:
+                                mod = {
+                                    "linear1": by_dim[dim][kv]["linear1"],
+                                    "linear2": by_dim[dim][kv]["linear2"],
+                                    "multiplier": multiplier,
+                                }
+                                attn2[name] = mod
+
+    visit(params["input_blocks"])
+    visit([params["middle_block"]])
+    visit(params["output_blocks"])
+    return params
+
+
 # --------------------------------------------------------------------------
 # whole-checkpoint entry point
 # --------------------------------------------------------------------------

@@ -316,11 +316,22 @@ def _apply_res(p, cfg: UNetConfig, h, emb, mode: str):
     return x + hh
 
 
+def _hyper(hp, z):
+    """HyperLogic residual MLP (reference attention.py:539-547):
+    z + linear2(linear1(z)) * multiplier."""
+    out = L.linear(hp["linear2"], L.linear(hp["linear1"], z))
+    return z + out * hp.get("multiplier", 1.0)
+
+
 def _cross_attention(p, x, context, heads: int, collector=None):
     ctx = x if context is None else context
     q = L.linear(p["to_q"], x)
-    k = L.linear(p["to_k"], ctx)
-    v = L.linear(p["to_v"], ctx)
+    # optional hypernetwork context transforms applied BEFORE the k/v
+    # projections (attention.py:139-144,285-292)
+    ctx_k = _hyper(p["hyper_k"], ctx) if "hyper_k" in p else ctx
+    ctx_v = _hyper(p["hyper_v"], ctx) if "hyper_v" in p else ctx
+    k = L.linear(p["to_k"], ctx_k)
+    v = L.linear(p["to_v"], ctx_v)
     if collector is not None and context is not None:
         # DAAM-style probability capture (reference attention.py:206-277):
         # explicit softmax path so the per-token maps exist; used on demand,

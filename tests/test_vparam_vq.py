@@ -116,3 +116,64 @@ class TestTiledVAE:
             np.asarray(vae_decode(cfg, params, z)),
             atol=1e-6,
         )
+
+
+class TestHypernetwork:
+    def test_hyper_kv_changes_output(self):
+        import dataclasses
+
+        from complex_prompt_diffusion_tpu.models.params import attach_hypernetwork
+
+        cfg = dataclasses.replace(M.UNetConfig.tiny(context_dim=64), dtype="float32")
+        params = M.init_unet(jax.random.PRNGKey(0), cfg)
+        # de-zero the zero-initialized output convs so attention deltas
+        # propagate (fresh random UNets have zero proj_out)
+        rng = np.random.default_rng(0)
+
+        def dezero(a):
+            arr = np.asarray(a)
+            if arr.ndim >= 2 and not arr.any():
+                return jnp.asarray(rng.normal(size=arr.shape).astype(np.float32) * 0.02)
+            return a
+
+        params = jax.tree.map(dezero, params)
+
+        def lin(i, o):
+            return {
+                "kernel": rng.normal(size=(i, o)).astype(np.float32) * 0.05,
+                "bias": np.zeros(o, np.float32),
+            }
+
+        hyper = {
+            64: {
+                "k": {"linear1": lin(64, 128), "linear2": lin(128, 64)},
+                "v": {"linear1": lin(64, 128), "linear2": lin(128, 64)},
+            }
+        }
+        hp = attach_hypernetwork(params, hyper, multiplier=1.0)
+
+        x = jnp.ones((1, 16, 16, 4))
+        t = jnp.asarray([5.0])
+        c = jnp.ones((1, 7, 64))
+        out0 = M.unet_apply(cfg, params, x, t, c)
+        out1 = M.unet_apply(cfg, hp, x, t, c)
+        assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+    def test_flat_key_layout(self):
+        from complex_prompt_diffusion_tpu.models.params import attach_hypernetwork
+
+        import dataclasses
+
+        cfg = dataclasses.replace(M.UNetConfig.tiny(context_dim=64), dtype="float32")
+        params = M.init_unet(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(1)
+        flat = {
+            "64.k.linear1.weight": rng.normal(size=(128, 64)).astype(np.float32),
+            "64.k.linear1.bias": np.zeros(128, np.float32),
+            "64.k.linear2.weight": rng.normal(size=(64, 128)).astype(np.float32),
+            "64.k.linear2.bias": np.zeros(64, np.float32),
+        }
+        hp = attach_hypernetwork(params, flat)
+        blk = hp["input_blocks"][1][1]["blocks"][0]["attn2"]
+        assert "hyper_k" in blk and "hyper_v" not in blk
+        assert blk["hyper_k"]["linear1"]["kernel"].shape == (64, 128)
