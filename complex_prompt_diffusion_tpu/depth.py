@@ -42,6 +42,10 @@ __all__ = [
     "get_depth",
     "double_estimate",
     "merge_depth",
+    "boost_depth",
+    "generate_patches",
+    "adaptive_select",
+    "grid_patches",
     "rescale",
     "shave",
 ]
@@ -254,3 +258,148 @@ def double_estimate(
     e1 = estimator.estimate(resize_img(size1))
     e2 = estimator.estimate(resize_img(size2))
     return merge_depth(e1, e2, merge_size=merge_size, merge_model=merge_model)
+
+
+# --------------------------------------------------------------------------
+# Patch-based local boosting (BoostingMonocularDepth; depth.py:513-594,
+# util.py:66-155). Gradient-dense regions get re-estimated at patch
+# resolution and blended back into the whole-image base estimate.
+# --------------------------------------------------------------------------
+
+
+def _rgb2gray(rgb: np.ndarray) -> np.ndarray:
+    """util.py:75-77 luma weights."""
+    if rgb.ndim == 2:
+        return np.asarray(rgb, np.float64)
+    return np.dot(rgb[..., :3], [0.2989, 0.5870, 0.1140])
+
+
+def _sobel_grad(gray: np.ndarray) -> np.ndarray:
+    """|d/dy| + |d/dx| via 3x3 Sobel (generatepatchs, depth.py:566-568)."""
+    g = np.pad(np.asarray(gray, np.float64), 1, mode="edge")
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float64)
+    out = np.zeros_like(gray, np.float64)
+    h, w = gray.shape
+    gx = np.zeros_like(out)
+    gy = np.zeros_like(out)
+    for dy in range(3):
+        for dx in range(3):
+            win = g[dy : dy + h, dx : dx + w]
+            gx += kx[dy, dx] * win
+            gy += kx.T[dy, dx] * win
+    return np.abs(gx) + np.abs(gy)
+
+
+def _integral(img: np.ndarray) -> np.ndarray:
+    """Summed-area table with the cv2.integral zero border."""
+    s = np.cumsum(np.cumsum(np.asarray(img, np.float64), 0), 1)
+    return np.pad(s, ((1, 0), (1, 0)))
+
+
+def _rect_sum(integral: np.ndarray, rect) -> float:
+    """Gradient mass inside rect [x, y, w, h] (getGF_fromintegral,
+    util.py:66-73)."""
+    x, y, w, h = rect
+    return float(
+        integral[y + h, x + w] - integral[y, x + w]
+        - integral[y + h, x] + integral[y, x]
+    )
+
+
+def grid_patches(shape: Tuple[int, int], blsize: int, stride: int):
+    """Initial overlapping grid of square rects [x, y, w, h]
+    (applyGridpatch, util.py:136-148)."""
+    hgt, wdt = shape
+    rects = []
+    for x in range(blsize, wdt - blsize, stride):
+        for y in range(blsize, hgt - blsize, stride):
+            rects.append([x - blsize, y - blsize, 2 * blsize, 2 * blsize])
+    return rects
+
+
+def adaptive_select(integral_grad: np.ndarray, rects, gf: float, factor: float):
+    """Keep gradient-dense patches, growing each until its density drops to
+    the whole-image density (adaptiveselection, depth.py:513-562)."""
+    height, width = integral_grad.shape[0] - 1, integral_grad.shape[1] - 1
+    step = int(32 / factor)
+    out = []
+    for rect in rects:
+        bbox = list(rect)
+        if _rect_sum(integral_grad, bbox) / (bbox[2] * bbox[3]) < gf:
+            continue
+        while True:
+            test = [
+                bbox[0] - step // 2, bbox[1] - step // 2,
+                bbox[2] + step, bbox[3] + step,
+            ]
+            if (
+                test[0] < 0 or test[1] < 0
+                or test[1] + test[3] >= height or test[0] + test[2] >= width
+            ):
+                break
+            if _rect_sum(integral_grad, test) / (test[2] * test[3]) < gf:
+                break
+            bbox = test
+        out.append(bbox)
+    return out
+
+
+def generate_patches(img: np.ndarray, base_size: int, factor: float = 1.0):
+    """Gradient-guided patch proposal (generatepatchs, depth.py:564-594):
+    Sobel edge mass -> threshold at its mean -> integral image -> grid ->
+    adaptive growth -> biggest-first ordering."""
+    grad = _sobel_grad(_rgb2gray(img))
+    nz = grad[grad > 0]
+    if nz.size:
+        grad[grad < nz.mean()] = 0
+    gf = grad.sum() / grad.size
+    integral = _integral(grad)
+    blsize = int(round(base_size / 2))
+    stride = int(round(blsize * 0.75))
+    rects = grid_patches(img.shape[:2], blsize, stride)
+    sel = adaptive_select(integral, rects, gf, factor)
+    return sorted(sel, key=lambda r: r[2], reverse=True)
+
+
+def _blend_mask(h: int, w: int) -> np.ndarray:
+    """Smooth borders-to-zero blending window (util.py generatemask)."""
+    y = np.minimum(np.arange(h), np.arange(h)[::-1]) / max(h / 6.0, 1)
+    x = np.minimum(np.arange(w), np.arange(w)[::-1]) / max(w / 6.0, 1)
+    return np.clip(y[:, None], 0, 1) * np.clip(x[None, :], 0, 1)
+
+
+def boost_depth(
+    img: np.ndarray,
+    estimator: DepthEstimator,
+    *,
+    base_size: int = 384,
+    max_patches: int = 16,
+    merge_model: Optional[Callable] = None,
+) -> np.ndarray:
+    """Whole-image double estimate, then per-patch re-estimation merged back
+    (the reference's local boosting loop, depth.py:648-700): each selected
+    patch is double-estimated, scale/shift-fit to the base estimate
+    (least-squares, replacing the reference's pix2pix merge net when
+    ``merge_model`` is None), and blended in with a smooth window."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    base = double_estimate(
+        img, estimator, base_size, 2 * base_size, merge_model=merge_model
+    )
+    base = _resize(base, (h, w))
+    patches = generate_patches(img, min(2 * base_size, min(h, w)))[:max_patches]
+    updated = base.copy()
+    for x, y, pw, ph in patches:
+        patch_rgb = img[y : y + ph, x : x + pw]
+        est = double_estimate(
+            patch_rgb, estimator, base_size, 2 * base_size,
+            merge_model=merge_model,
+        )
+        est = _resize(est, (ph, pw))
+        region = updated[y : y + ph, x : x + pw]
+        # least-squares scale/shift onto the current estimate
+        a, b = np.polyfit(est.reshape(-1), region.reshape(-1), 1)
+        mapped = a * est + b
+        m = _blend_mask(ph, pw)
+        updated[y : y + ph, x : x + pw] = m * mapped + (1 - m) * region
+    return rescale(updated)

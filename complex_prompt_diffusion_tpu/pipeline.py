@@ -212,7 +212,7 @@ def _sigma_schedule(bundle: ModelBundle, cfg: RenderConfig) -> np.ndarray:
 
 def _build_sampler_fn(
     bundle: ModelBundle, cfg: RenderConfig, t_start, has_depth, has_noises,
-    clip_guidance=None,
+    clip_guidance=None, step_callback=None,
 ):
     """Build and jit the sampling core for a (bundle, cfg) pair.
 
@@ -331,6 +331,29 @@ def _build_sampler_fn(
             else:
                 eps_fn = base_eps
 
+            if step_callback is not None:
+                # per-step preview hook (extension/callbacks.py): host
+                # observes the x0 prediction via jax.debug.callback without
+                # breaking the compiled scan
+                inner_eps = eps_fn
+
+                def eps_fn(x, t, uc_scale, blur_on, _inner=inner_eps):
+                    e_t = _inner(x, t, uc_scale, blur_on)
+                    idx = jnp.searchsorted(
+                        timesteps_j,
+                        jnp.asarray(t).reshape(-1)[0].astype(timesteps_j.dtype),
+                    )
+                    idx = jnp.clip(idx, 0, s - 1)
+                    a_t = jnp.take(ac_t_j, idx)
+                    s1m_t = jnp.take(s1m_j, idx)
+                    x0_pred = (
+                        x[..., : e_t.shape[-1]] - s1m_t * e_t
+                    ) / jnp.sqrt(a_t)
+                    jax.debug.callback(
+                        step_callback, jnp.asarray(t).reshape(-1)[0], x0_pred
+                    )
+                    return e_t
+
             kwargs = dict(
                 key=key,
                 noises=noises,
@@ -368,6 +391,25 @@ def _build_sampler_fn(
 
         return jax.jit(run, donate_argnums=(2,))
 
+    if family == "trig":  # iPNDM (ipndms.py trig schedule, own t grid)
+        uc_tr = jnp.asarray(cfg.guidance.guidance_scale, jnp.float32)
+
+        def run(unet_params, spec, x_T, key, noises, depth_mask, guide_args):
+            def unet_eps(x, t, ctx):
+                return M.unet_apply(bundle.unet_cfg, unet_params, x, t, ctx)
+
+            eps_fn, _ = make_denoiser(
+                unet_eps, spec, gcfg=cfg.guidance, depth_mask=depth_mask
+            )
+
+            def eps3(x_in, t, uc_scale):
+                return eps_fn(x_in, t, uc_scale, jnp.asarray(False))
+
+            x0, _ = sample_fn(eps3, x_T, cfg.steps, uc_tr)
+            return x0
+
+        return jax.jit(run, donate_argnums=(2,))
+
     # sigma family: sigma schedules / churn gammas / LMS coeffs are
     # host-side numpy, so they stay closed over (tiny constants)
     sigmas = _sigma_schedule(bundle, cfg)
@@ -394,6 +436,16 @@ def _build_sampler_fn(
             parameterization=bundle.parameterization,
             depth_mask=depth_mask,
         )
+        if step_callback is not None:
+            inner_den = den_fn
+
+            def den_fn(x_, sigma, uc_scale, _inner=inner_den):
+                denoised = _inner(x_, sigma, uc_scale)
+                jax.debug.callback(
+                    step_callback, jnp.asarray(sigma).reshape(-1)[0], denoised
+                )
+                return denoised
+
         x0, _ = sample_fn(den_fn, x, sigmas, uc_scales, key=key, noises=noises, **kw)
         return x0
 
@@ -411,6 +463,7 @@ def sample_latents(
     depth_mask: Optional[jax.Array] = None,
     t_start: Optional[int] = None,
     clip_guidance=None,
+    step_callback=None,
 ) -> jax.Array:
     """Run the configured sampler; returns final latents [B, h, w, 4]
     (unscaled model space). The whole chain is one jit'd program, cached on
@@ -443,12 +496,15 @@ def sample_latents(
         cg_static = None
         guide_args = None
 
-    cache_key = (cfg, t_start, depth_mask is not None, noises is not None, cg_static)
+    cache_key = (
+        cfg, t_start, depth_mask is not None, noises is not None, cg_static,
+        step_callback,
+    )
     run = bundle._jit_cache.get(cache_key)
     if run is None:
         run = _build_sampler_fn(
             bundle, cfg, t_start, depth_mask is not None, noises is not None,
-            clip_guidance=cg_static,
+            clip_guidance=cg_static, step_callback=step_callback,
         )
         bundle._jit_cache[cache_key] = run
 
@@ -499,17 +555,20 @@ def txt2img(
     x_T: Optional[jax.Array] = None,
     depth_mask: Optional[jax.Array] = None,
     decode: bool = True,
+    step_callback=None,
 ):
     """Text to image (manager.process_txt2img semantics, manager.py:52-66).
 
-    Returns (images_uint8 | None, latents)."""
+    ``step_callback(t, x0_pred)``: optional host-side per-step preview hook
+    (see samplers/callbacks.py). Returns (images_uint8 | None, latents)."""
     spec = (
         prompt
         if isinstance(prompt, GuidanceSpec)
         else make_guidance_spec(bundle, prompt, negative_prompt)
     )
     latents = sample_latents(
-        bundle, spec, cfg, x_init=x_T, key=key, noises=noises, depth_mask=depth_mask
+        bundle, spec, cfg, x_init=x_T, key=key, noises=noises,
+        depth_mask=depth_mask, step_callback=step_callback,
     )
     images = decode_latents(bundle, latents) if decode else None
     return images, latents
@@ -540,6 +599,12 @@ def img2img(
     z0 = encode_image(bundle, image, key=k_enc)
 
     family, _ = SA.get_sampler(cfg.sampler)
+    if family in ("solver", "trig"):
+        raise ValueError(
+            f"img2img is not supported with the {cfg.sampler!r} sampler "
+            "(no partial-noise entry point); use a DDIM/PLMS or k-diffusion "
+            "sampler"
+        )
     if family == "t":
         itables = S.make_inference_tables(
             bundle.tables, cfg.steps, eta=cfg.eta, discretize=cfg.discretize

@@ -20,6 +20,7 @@ from complex_prompt_diffusion_tpu.samplers import solver as _solver
 from complex_prompt_diffusion_tpu.samplers import unipc as _unipc
 from complex_prompt_diffusion_tpu.samplers import dpm_adaptive as _dpma
 from complex_prompt_diffusion_tpu.samplers import loglik as _loglik
+from complex_prompt_diffusion_tpu.samplers import ipndm as _ipndm
 
 __all__ = ["SAMPLERS", "get_sampler", "register"]
 
@@ -68,3 +69,7 @@ register("Log", "sigma")(_loglik.sample_log_likelihood)  # log-likelihood estima
 register("dpm_solver", "solver")(_solver.sample_dpm_solver)
 register("DPM Solver", "solver")(_solver.sample_dpm_solver)
 register("UniPC", "solver")(_unipc.sample_unipc)
+
+# trig family (iPNDM's own sin^2 schedule — ipndms.py:25-30; the reference
+# ships the scheduler unregistered, here it is a full sampler)
+register("iPNDM", "trig")(_ipndm.sample_ipndm)

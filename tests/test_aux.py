@@ -97,6 +97,40 @@ class TestDepth:
         out = D.double_estimate(img, est, 32, 64, merge_size=64)
         assert out.shape == (64, 64)
 
+    def test_generate_patches_finds_dense_regions(self):
+        # flat image with one textured quadrant -> patches live there
+        rng = np.random.default_rng(5)
+        img = np.full((128, 128, 3), 0.5, np.float32)
+        img[:64, :64] = rng.random((64, 64, 3))
+        patches = D.generate_patches(img, base_size=48)
+        assert patches, "expected at least one patch"
+        for x, y, w, h in patches:
+            assert w > 0 and h > 0
+        # densest patch overlaps the textured quadrant
+        x, y, w, h = patches[0]
+        assert x < 64 and y < 64
+        # sorted biggest-first (generatepatchs, depth.py:591-594)
+        sizes = [p[2] for p in patches]
+        assert sizes == sorted(sizes, reverse=True)
+
+    def test_integral_rect_sum(self):
+        rng = np.random.default_rng(6)
+        a = rng.random((20, 30))
+        integ = D._integral(a)
+        rect = [5, 3, 12, 9]  # x, y, w, h
+        np.testing.assert_allclose(
+            D._rect_sum(integ, rect), a[3:12, 5:17].sum(), rtol=1e-10
+        )
+
+    def test_boost_depth(self):
+        rng = np.random.default_rng(7)
+        img = rng.random((96, 96, 3)).astype(np.float32)
+        est = D.SobelDepthEstimator()
+        out = D.boost_depth(img, est, base_size=32, max_patches=4)
+        assert out.shape == (96, 96)
+        assert out.min() >= 0 and out.max() <= 1
+        assert np.isfinite(out).all()
+
 
 class TestAnimation:
     def test_parse_key_frames(self):

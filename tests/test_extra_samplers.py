@@ -96,3 +96,73 @@ class TestBlurDiffusion:
             key=jax.random.PRNGKey(4),
         )
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestIPNDM:
+    def test_matches_reference_scheduler(self):
+        """Drive the reference IPNDMScheduler step loop with the same
+        per-step model outputs and compare trajectories."""
+        import _oracle
+
+        if _oracle.setup() is None:
+            pytest.skip("reference oracle unavailable")
+        import torch
+        from cpd.scheduler import ipndms as ref_mod
+        from complex_prompt_diffusion_tpu.samplers.ipndm import (
+            ipndm_schedule,
+            sample_ipndm,
+        )
+
+        steps = 7
+        rng = np.random.default_rng(0)
+        x0 = rng.normal(size=(1, 4, 4, 2)).astype(np.float32)
+
+        # model output depends on (x, unit-time t) identically on both sides
+        def f_np(x, t_unit):
+            return 0.3 * x + np.float32(np.sin(t_unit))
+
+        sch = ref_mod.IPNDMScheduler(num_train_timesteps=1000, logger=lambda *a: None)
+        sch.set_timesteps(steps, device="cpu")
+        x_ref = torch.from_numpy(x0.copy())
+        for t in sch.timesteps:
+            e_t = torch.from_numpy(
+                f_np(x_ref.numpy(), float(t)).astype(np.float32)
+            )
+            x_ref, _ = sch.step(x_ref, e_t, t)
+
+        def eps_fn(x, t, uc):
+            return 0.3 * x + jnp.sin(t[0] / 1000.0)
+
+        x_mine, _ = sample_ipndm(eps_fn, jnp.asarray(x0), steps)
+        np.testing.assert_allclose(
+            np.asarray(x_mine), x_ref.numpy(), atol=2e-4
+        )
+        # sanity on the schedule itself (ipndms.py:25-30)
+        beta, alpha = ipndm_schedule(steps)
+        np.testing.assert_allclose(beta, sch.betas.numpy(), atol=1e-6)
+        np.testing.assert_allclose(alpha, sch.alphas.numpy(), atol=1e-6)
+
+    def test_pipeline_smoke(self):
+        from complex_prompt_diffusion_tpu.pipeline import (
+            ModelBundle,
+            RenderConfig,
+            txt2img,
+        )
+
+        b = ModelBundle.random("tiny")
+        cfg = RenderConfig(steps=4, width=32, height=32, sampler="iPNDM")
+        _, lat = txt2img(b, "a cat", cfg=cfg, decode=False)
+        assert np.isfinite(np.asarray(lat)).all()
+
+    def test_img2img_rejected(self):
+        from complex_prompt_diffusion_tpu.pipeline import (
+            ModelBundle,
+            RenderConfig,
+            img2img,
+        )
+
+        b = ModelBundle.random("tiny")
+        cfg = RenderConfig(steps=4, width=32, height=32, sampler="iPNDM")
+        img = np.zeros((32, 32, 3), np.uint8)
+        with pytest.raises(ValueError, match="img2img is not supported"):
+            img2img(b, img, "a cat", cfg=cfg)

@@ -247,3 +247,62 @@ class TestDAAM:
         hm = word_heat_map(maps, [2, 3], out_size=8)
         assert hm.shape == (8, 8)
         assert 0.0 <= float(hm.min()) and float(hm.max()) <= 1.0
+
+
+class TestStepCallback:
+    """step_callback uses jax.debug.callback, which the axon TPU tunnel
+    does not implement (UNIMPLEMENTED: host send/recv) — run on the CPU
+    backend in a subprocess, like the multichip tests."""
+
+    def _run(self, code):
+        import os, subprocess, sys, textwrap
+
+        env = {
+            **os.environ,
+            "PALLAS_AXON_POOL_IPS": "",
+            "JAX_PLATFORMS": "cpu",
+            "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache_cpd_cpu",
+            "HF_HUB_OFFLINE": "1",
+        }
+        return subprocess.run(
+            [sys.executable, "-c", textwrap.dedent(code)],
+            env=env, capture_output=True, text=True, timeout=520,
+            cwd="/root/repo",
+        )
+
+    def test_txt2img_callback_frames(self):
+        r = self._run("""
+            import jax, numpy as np
+            from complex_prompt_diffusion_tpu.pipeline import (
+                ModelBundle, RenderConfig, txt2img)
+            from complex_prompt_diffusion_tpu.samplers.callbacks import (
+                make_render_callback)
+            b = ModelBundle.random("tiny")
+            cb = make_render_callback()
+            cfg = RenderConfig(steps=4, width=32, height=32)
+            txt2img(b, "a cat", cfg=cfg, decode=False, step_callback=cb)
+            jax.effects_barrier()
+            assert cb.count == 4, cb.count
+            assert len(cb.frames) == 4
+            assert cb.frames[0].dtype == np.uint8
+            assert cb.frames[0].shape == (4, 4, 3), cb.frames[0].shape
+            print("OK")
+        """)
+        assert "OK" in r.stdout, r.stderr[-2000:]
+
+    def test_sigma_family_callback(self):
+        r = self._run("""
+            import jax
+            from complex_prompt_diffusion_tpu.pipeline import (
+                ModelBundle, RenderConfig, txt2img)
+            seen = []
+            b = ModelBundle.random("tiny")
+            cfg = RenderConfig(steps=4, width=32, height=32, sampler="Euler")
+            txt2img(b, "a cat", cfg=cfg, decode=False,
+                    step_callback=lambda s, d: seen.append(float(s)))
+            jax.effects_barrier()
+            assert len(seen) == 4, seen
+            assert seen == sorted(seen, reverse=True), seen
+            print("OK")
+        """)
+        assert "OK" in r.stdout, r.stderr[-2000:]
