@@ -30,6 +30,8 @@ __all__ = [
     "convert_clip_hf",
     "convert_clip_openclip",
     "load_sd_checkpoint",
+    "attach_hypernetwork",
+    "make_it_fit",
 ]
 
 Array = np.ndarray
@@ -432,6 +434,55 @@ def apply_ema_weights(sd: Dict[str, Array]) -> Dict[str, Array]:
             ema_key = "model_ema." + k[len("model.") :].replace(".", "")
             if ema_key in sd:
                 out[k] = sd[ema_key]
+    return out
+
+
+def make_it_fit(
+    sd: StateDict, target_shapes: Dict[str, tuple]
+) -> Dict[str, Array]:
+    """Shape-adaptation weight surgery (DDPM.init_from_ckpt make_it_fit,
+    ddpm.py:245-287): fit checkpoint weights onto a model with different
+    first-two-axis sizes (e.g. seed a 9-channel inpaint UNet's input conv
+    from a 4-channel SD checkpoint) by cyclic tiling over the first two
+    (torch-layout: out, in) axes. For >=2-D weights the result is divided by
+    an input-usage count so the layer's output scale is preserved when the
+    input dim grows. Operates on the RAW torch-layout state dict, before
+    layout conversion.
+
+    Quirk reproduced from the reference: the usage counter starts at 1, not
+    0 (ddpm.py:272), so each count is (1 + real uses) — the surgery halves
+    weights whose input dim is unchanged while the output dim grows.
+    Trailing axes (conv spatial dims) must match.
+    """
+    out = dict(sd)
+    for name, want in target_shapes.items():
+        if name not in sd:
+            continue
+        old = np.asarray(sd[name])
+        want = tuple(want)
+        if old.shape == want:
+            continue
+        if len(old.shape) != len(want):
+            raise ValueError(
+                f"{name}: rank mismatch {old.shape} -> {want} "
+                "(make_it_fit only adapts same-rank weights)"
+            )
+        if len(want) > 2 and old.shape[2:] != want[2:]:
+            raise ValueError(
+                f"{name}: trailing axes must match ({old.shape} -> {want})"
+            )
+        idx0 = np.arange(want[0]) % old.shape[0]
+        if old.ndim == 1:
+            out[name] = old[idx0]
+            continue
+        idx1 = np.arange(want[1]) % old.shape[1]
+        new = old[idx0][:, idx1]
+        # input-usage normalization (ddpm.py:271-283), incl. the init-at-one
+        n_used_old = np.ones(old.shape[1])
+        np.add.at(n_used_old, idx1, 1)
+        n_used_new = n_used_old[idx1]
+        new = new / n_used_new.reshape((1, -1) + (1,) * (old.ndim - 2))
+        out[name] = new.astype(old.dtype)
     return out
 
 

@@ -194,8 +194,8 @@ def flash_attention(
     v: jax.Array,
     scale: Optional[float] = None,
     *,
-    block_q: int = 1024,
-    block_k: int = 2048,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -206,15 +206,33 @@ def flash_attention(
     elsewhere (CPU tests) — both paths compute softmax in f32.
     ``interpret=True`` forces the Pallas kernel in interpreter mode (kernel
     logic tests on CPU).
+
+    Small-KV dispatch: cross-attention against short contexts (CLIP's 77
+    tokens) is bandwidth-trivial — the flash machinery (scratch init,
+    running-max bookkeeping) costs ~2x a plain fused softmax there
+    (scripts/perf_attn7.py: 1.59 vs 0.81 ms at BH64 S4096 kv77), so KV
+    lengths <= 128 route to XLA even on TPU.
+
+    Block defaults come from the bench-batch sweep (B8 x H8): long sequences
+    (S >= 4096) run best at 512x4096 (5.36 vs 6.06 ms for the old
+    1024x2048); shorter ones at 512x1024.
     """
     b, h, sq, d = q.shape
+    kv = k.shape[2]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if kv <= 128 and not interpret:
+        return _xla_attention(q, k, v, scale)
     if not (use_pallas or interpret):
         return _xla_attention(q, k, v, scale)
+
+    if block_q is None:
+        block_q = 512 if sq >= 512 else sq
+    if block_k is None:
+        block_k = 4096 if kv >= 4096 else 1024
 
     return _pallas_attention_diff(scale, block_q, block_k, interpret)(q, k, v)
 

@@ -85,3 +85,75 @@ class TestAnimationLoop:
         )
         assert len(frames) == 2
         assert frames[0].shape == (8, 8, 3)
+
+
+class TestMakeItFit:
+    """make_it_fit surgery vs a direct transcription of the reference's
+    per-element loop (ddpm.py:245-287)."""
+
+    @staticmethod
+    def _reference_fit(old, new_shape):
+        import numpy as np
+
+        new = np.zeros(new_shape, old.dtype)
+        if old.ndim == 1:
+            for i in range(new_shape[0]):
+                new[i] = old[i % old.shape[0]]
+            return new
+        for i in range(new_shape[0]):
+            for j in range(new_shape[1]):
+                new[i, j] = old[i % old.shape[0], j % old.shape[1]]
+        n_used_old = np.ones(old.shape[1])
+        for j in range(new_shape[1]):
+            n_used_old[j % old.shape[1]] += 1
+        n_used_new = np.zeros(new_shape[1])
+        for j in range(new_shape[1]):
+            n_used_new[j] = n_used_old[j % old.shape[1]]
+        n_used_new = n_used_new.reshape((1, -1) + (1,) * (old.ndim - 2))
+        return new / n_used_new
+
+    def test_matches_reference_loop(self):
+        from complex_prompt_diffusion_tpu.models.params import make_it_fit
+
+        rng = np.random.default_rng(0)
+        cases = {
+            "w2d": (rng.normal(size=(2, 3)), (4, 5)),
+            "conv": (rng.normal(size=(4, 2, 3, 3)), (6, 5, 3, 3)),
+            "bias": (rng.normal(size=(3,)), (7,)),
+            "out_only": (rng.normal(size=(2, 3)), (5, 3)),
+            "same": (rng.normal(size=(2, 2)), (2, 2)),
+        }
+        sd = {k: v for k, (v, _) in cases.items()}
+        shapes = {k: s for k, (_, s) in cases.items()}
+        fitted = make_it_fit(sd, shapes)
+        for k, (old, want) in cases.items():
+            if old.shape == want:
+                np.testing.assert_array_equal(fitted[k], old)
+            else:
+                np.testing.assert_allclose(
+                    fitted[k], self._reference_fit(old, want), rtol=1e-12
+                )
+                assert fitted[k].shape == want
+
+    def test_inpaint_conv_seed(self):
+        # the motivating case: 4->9 channel input conv for an inpaint UNet
+        from complex_prompt_diffusion_tpu.models.params import make_it_fit
+
+        old = np.random.default_rng(1).normal(size=(320, 4, 3, 3)).astype(np.float32)
+        fitted = make_it_fit(
+            {"input.weight": old}, {"input.weight": (320, 9, 3, 3)}
+        )["input.weight"]
+        assert fitted.shape == (320, 9, 3, 3)
+        assert np.isfinite(fitted).all()
+
+    def test_rank_mismatch_rejected(self):
+        from complex_prompt_diffusion_tpu.models.params import make_it_fit
+
+        with pytest.raises(ValueError, match="rank mismatch"):
+            make_it_fit({"w": np.zeros((2, 2))}, {"w": (2, 2, 2)})
+
+    def test_trailing_axes_rejected(self):
+        from complex_prompt_diffusion_tpu.models.params import make_it_fit
+
+        with pytest.raises(ValueError, match="trailing"):
+            make_it_fit({"w": np.zeros((2, 2, 3, 3))}, {"w": (4, 2, 5, 5)})
