@@ -51,6 +51,10 @@ class UNetConfig:
     use_scale_shift_norm: bool = False
     num_classes: Optional[int] = None
     dtype: str = "bfloat16"
+    # None = backend default (Pallas on TPU). Tensor-parallel bundles force
+    # False: the Pallas kernels carry no SPMD partitioning rules yet, while
+    # XLA attention partitions cleanly over sharded head projections
+    use_pallas: Optional[bool] = None
 
     # SD presets ------------------------------------------------------------
     @staticmethod
@@ -323,7 +327,7 @@ def _hyper(hp, z):
     return z + out * hp.get("multiplier", 1.0)
 
 
-def _cross_attention(p, x, context, heads: int, collector=None):
+def _cross_attention(p, x, context, heads: int, collector=None, use_pallas=None):
     ctx = x if context is None else context
     q = L.linear(p["to_q"], x)
     # optional hypernetwork context transforms applied BEFORE the k/v
@@ -351,7 +355,7 @@ def _cross_attention(p, x, context, heads: int, collector=None):
         out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(vh.dtype), vh)
         out = out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
     else:
-        out = mha(q, k, v, num_heads=heads)
+        out = mha(q, k, v, num_heads=heads, use_pallas=use_pallas)
     return L.linear(p["to_out"], out)
 
 
@@ -366,10 +370,13 @@ def _apply_attn(p, cfg: UNetConfig, h, context, heads, dim_head, collector=None)
         x = L.conv2d(p["proj_in"], x)
         x = x.reshape(n, hh_ * ww_, inner)
     for blk in p["blocks"]:
-        x = x + _cross_attention(blk["attn1"], L.layer_norm(blk["norm1"], x), None, heads)
+        x = x + _cross_attention(
+            blk["attn1"], L.layer_norm(blk["norm1"], x), None, heads,
+            use_pallas=cfg.use_pallas,
+        )
         x = x + _cross_attention(
             blk["attn2"], L.layer_norm(blk["norm2"], x), context, heads,
-            collector=collector,
+            collector=collector, use_pallas=cfg.use_pallas,
         )
         y = L.layer_norm(blk["norm3"], x)
         y = L.linear(blk["ff"]["proj"], y)

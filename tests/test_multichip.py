@@ -90,3 +90,56 @@ class TestMultichip:
         )
         assert r.returncode == 0, r.stderr[-2000:]
         assert "entry compiled ok" in r.stdout
+
+
+class TestTensorParallel:
+    def test_tp_matches_single_device(self):
+        r = _run("""
+            import numpy as np, jax
+            from jax.sharding import PartitionSpec as P
+            from complex_prompt_diffusion_tpu.pipeline import (
+                ModelBundle, RenderConfig, txt2img)
+            from complex_prompt_diffusion_tpu.parallel.mesh import make_mesh
+            from complex_prompt_diffusion_tpu.parallel.tp import (
+                shard_bundle, unet_tp_shardings)
+
+            b = ModelBundle.random("tiny")
+            cfg = RenderConfig(steps=3, width=32, height=32, seed=5)
+            _, ref = txt2img(b, "a cat", cfg=cfg, decode=False)
+
+            mesh = make_mesh(model=4)  # 2 x 4 over 8 CPU devices
+            sh = unet_tp_shardings(b.unet_params, mesh)
+            blk = sh["input_blocks"][1][1]["blocks"][0]
+            assert blk["attn1"]["to_q"]["kernel"].spec == P(None, "model"), blk
+            assert blk["attn1"]["to_out"]["kernel"].spec == P("model", None)
+            assert blk["ff"]["proj"]["kernel"].spec == P(None, "model")
+            assert blk["norm1"]["scale"].spec == P()
+
+            tb = shard_bundle(b, mesh)
+            k = tb.unet_params["input_blocks"][1][1]["blocks"][0]["attn1"]["to_q"]["kernel"]
+            assert len(k.sharding.device_set) == 8
+            _, tp = txt2img(tb, "a cat", cfg=cfg, decode=False)
+            d = float(np.abs(np.asarray(ref) - np.asarray(tp)).max())
+            assert d < 2e-4, d
+            print("OK maxdiff", d)
+        """)
+        assert "OK" in r.stdout, (r.stdout[-500:], r.stderr[-2000:])
+
+    def test_tp_uneven_shard_rejected(self):
+        # tiny UNet inner dims (32/64) don't divide by 3 — but meshes are
+        # powers of two here; verify a 8-way model shard of a 64-wide ff
+        # still works (64 % 8 == 0) and produces finite output
+        r = _run("""
+            import numpy as np
+            from complex_prompt_diffusion_tpu.pipeline import (
+                ModelBundle, RenderConfig, txt2img)
+            from complex_prompt_diffusion_tpu.parallel.mesh import make_mesh
+            from complex_prompt_diffusion_tpu.parallel.tp import shard_bundle
+
+            b = ModelBundle.random("tiny")
+            tb = shard_bundle(b, make_mesh(model=8))
+            _, lat = txt2img(tb, "a cat", cfg=RenderConfig(steps=2, width=32, height=32), decode=False)
+            assert np.isfinite(np.asarray(lat)).all()
+            print("OK")
+        """)
+        assert "OK" in r.stdout, (r.stdout[-500:], r.stderr[-2000:])
