@@ -46,6 +46,7 @@ __all__ = [
     "generate_patches",
     "adaptive_select",
     "grid_patches",
+    "calculate_processing_res",
     "rescale",
     "shave",
 ]
@@ -375,16 +376,23 @@ def boost_depth(
     base_size: int = 384,
     max_patches: int = 16,
     merge_model: Optional[Callable] = None,
+    auto_res: bool = False,
 ) -> np.ndarray:
     """Whole-image double estimate, then per-patch re-estimation merged back
     (the reference's local boosting loop, depth.py:648-700): each selected
     patch is double-estimated, scale/shift-fit to the base estimate
     (least-squares, replacing the reference's pix2pix merge net when
-    ``merge_model`` is None), and blended in with a smooth window."""
+    ``merge_model`` is None), and blended in with a smooth window.
+    ``auto_res=True`` picks the high-resolution estimation size with the
+    R_x search (depth.py:611-620) instead of the fixed 2*base_size."""
     img = np.asarray(img, np.float32)
     h, w = img.shape[:2]
+    size2 = 2 * base_size
+    if auto_res:
+        optimal, _ = calculate_processing_res(img, base_size)
+        size2 = max(size2, optimal)
     base = double_estimate(
-        img, estimator, base_size, 2 * base_size, merge_model=merge_model
+        img, estimator, base_size, size2, merge_model=merge_model
     )
     base = _resize(base, (h, w))
     patches = generate_patches(img, min(2 * base_size, min(h, w)))[:max_patches]
@@ -403,3 +411,64 @@ def boost_depth(
         m = _blend_mask(ph, pw)
         updated[y : y + ph, x : x + pw] = m * mapped + (1 - m) * region
     return rescale(updated)
+
+
+def _max_pool(img: np.ndarray, n: int) -> np.ndarray:
+    """Block-reduce by max with block size n (util.py:27-32)."""
+    n = max(int(n), 1)
+    h, w = img.shape
+    ph, pw = -h % n, -w % n
+    p = np.pad(img, ((0, ph), (0, pw)), constant_values=-np.inf)
+    return p.reshape((h + ph) // n, n, (w + pw) // n, n).max(axis=(1, 3))
+
+
+def _dilate(binary: np.ndarray, k: int) -> np.ndarray:
+    """Binary dilation with a k x k ones kernel (cv2.dilate equivalent)."""
+    k = max(int(k), 1)
+    if k == 1:
+        return binary
+    from scipy.ndimage import maximum_filter
+
+    return maximum_filter(binary, size=k, mode="constant", cval=0.0)
+
+
+def calculate_processing_res(
+    img: np.ndarray,
+    base_size: int = 384,
+    confidence: float = 0.1,
+    scale_threshold: float = 3.0,
+    whole_size_threshold: int = 3000,
+) -> Tuple[int, float]:
+    """R_x resolution search (calculateprocessingres, util.py:79-133): grow
+    the working resolution until more than ``confidence`` of pixels fall
+    outside any edge's receptive field. Returns (optimal_size, patch_scale
+    [the K parameter])."""
+    speed_scale = 32
+    image_dim = int(min(img.shape[:2]))
+
+    grad = _sobel_grad(_rgb2gray(img))
+    grad = _resize(grad, (image_dim, image_dim))
+    m, mx = grad.min(), grad.max()
+    middle = m + 0.4 * (mx - m)
+    grad = (grad >= middle).astype(np.float64)
+
+    kernel = int(base_size / speed_scale)
+    kernel2 = max(int(base_size / (4 * speed_scale)), 1)
+    threshold = min(whole_size_threshold, scale_threshold * max(img.shape[:2]))
+
+    outputsize_scale = base_size / speed_scale
+    grad_resized = grad
+    for p_size in range(
+        int(base_size / speed_scale),
+        int(threshold / speed_scale),
+        max(int(base_size / (2 * speed_scale)), 1),
+    ):
+        pooled = _max_pool(grad, int(np.floor(image_dim / p_size)))
+        grad_resized = (_resize(pooled, (p_size, p_size)) >= 0.5).astype(np.float64)
+        dilated = _dilate(grad_resized, kernel)
+        if (1.0 - dilated).mean() > confidence:
+            break
+        outputsize_scale = p_size
+
+    patch_scale = float(_dilate(grad_resized, kernel2).mean())
+    return int(outputsize_scale * speed_scale), patch_scale

@@ -122,6 +122,26 @@ class TestDepth:
             D._rect_sum(integ, rect), a[3:12, 5:17].sum(), rtol=1e-10
         )
 
+    def test_processing_res_search(self):
+        rng = np.random.default_rng(8)
+        img = np.full((256, 256, 3), 0.5, np.float32)
+        img[64:192, 64:192] = rng.random((128, 128, 3))
+        size, k = D.calculate_processing_res(img, base_size=64, whole_size_threshold=512)
+        assert size % 32 == 0 and 64 <= size <= 512
+        assert 0.0 <= k <= 1.0
+        # fully textured image supports a larger working resolution
+        full = rng.random((256, 256, 3)).astype(np.float32)
+        size_full, _ = D.calculate_processing_res(full, base_size=64, whole_size_threshold=512)
+        assert size_full >= size
+
+    def test_boost_depth_auto_res(self):
+        rng = np.random.default_rng(9)
+        img = rng.random((96, 96, 3)).astype(np.float32)
+        out = D.boost_depth(img, D.SobelDepthEstimator(), base_size=32,
+                            max_patches=2, auto_res=True)
+        assert out.shape == (96, 96)
+        assert np.isfinite(out).all()
+
     def test_boost_depth(self):
         rng = np.random.default_rng(7)
         img = rng.random((96, 96, 3)).astype(np.float32)
