@@ -28,6 +28,11 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["flash_attention", "attention"]
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LOG2E = math.log2(math.e)
+
+# Above this KV length the [Skv, block_q] score block no longer fits VMEM
+# comfortably and the online (streaming-KV) kernel takes over.
+_ONEPASS_MAX_KV = 16384
 
 
 def _round_up(x: int, m: int) -> int:
@@ -138,6 +143,125 @@ def _flash_attention_bhsd(
     return out[:, :sq, :]
 
 
+def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, skv_pad):
+    """One-pass transposed-layout attention (grid: (BH, Sq/block_q)).
+
+    SD sequence lengths (<= 16k) fit the whole KV row in VMEM, so the
+    online-softmax bookkeeping (running max, alpha rescale, scratch
+    accumulators) of the streaming kernel is pure overhead. Layout is
+    [D, S] — head_dim on SUBLANES — so neither matmul pads d to the
+    128-lane tile (the streaming kernel wastes 3.2x nominal FLOPs on
+    d=40 -> 128 lane padding at SD-1.5's level-0 attention; this kernel
+    measured 1.7-2.3x faster end-to-end, scripts/perf_attn12.py).
+
+    The softmax denominator comes free: V carries an appended ones-row, so
+    the PV matmul's last output row is sum_k p[k, q] (d+1 rounds into the
+    same sublane tile). exp2 is the native transcendental; scale folds
+    through log2(e).
+    """
+    q = q_ref[0]  # [d, block_q]
+    k = k_ref[0]  # [d, skv_pad]
+    s = jax.lax.dot_general(
+        k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [skv_pad, block_q]
+    s = s * (scale * _LOG2E)
+    if skv_pad > kv_len:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(row < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=0, keepdims=True)  # [1, block_q]
+    p = jnp.exp2(s - m).astype(v_ref.dtype)
+    v = v_ref[0]  # [d+1, skv_pad]; last row ones
+    o = jax.lax.dot_general(
+        v, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [d+1, block_q]
+    d = o.shape[0] - 1
+    o_ref[0] = (o[:d] / o[d:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "interpret")
+)
+def _onepass_attention_bhds(
+    q_t, k_t, v_t, *, scale: float, block_q: int, interpret: bool
+):
+    """Core one-pass call. q_t: [BH, D, Sq]; k_t: [BH, D, Skv];
+    v_t: [BH, D+1, Skv] (ones-row already appended)."""
+    bh, d, sq = q_t.shape
+    kv_len = k_t.shape[2]
+    skv_pad = _round_up(kv_len, 128)
+    sq_pad = _round_up(sq, block_q)
+    if sq_pad != sq:
+        q_t = jnp.pad(q_t, ((0, 0), (0, 0), (0, sq_pad - sq)))
+    if skv_pad != kv_len:
+        k_t = jnp.pad(k_t, ((0, 0), (0, 0), (0, skv_pad - kv_len)))
+        v_t = jnp.pad(v_t, ((0, 0), (0, 0), (0, skv_pad - kv_len)))
+    grid = (bh, sq_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _onepass_kernel, scale=scale, kv_len=kv_len, skv_pad=skv_pad
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, d, sq_pad), q_t.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, d, skv_pad), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, d + 1, skv_pad), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda b, i: (b, 0, i)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q_t, k_t, v_t)
+    return out if sq_pad == sq else out[:, :, :sq]
+
+
+def _onepass_block_q(sq: int, kv_len: int) -> int:
+    """Largest 128-multiple query block whose [Skv, bq] f32 score block plus
+    bf16 probability block stays within ~48 MB of VMEM, capped at 1024."""
+    skv_pad = _round_up(kv_len, 128)
+    budget = 48 * 1024 * 1024
+    bq = budget // (6 * skv_pad)
+    bq = max(128, min(1024, bq // 128 * 128))
+    return min(bq, _round_up(sq, 128))
+
+
+@functools.lru_cache(maxsize=64)
+def _onepass_attention_diff(scale, block_q, interpret):
+    """Differentiable one-pass attention on [B, H, S, D]: Pallas forward,
+    XLA-recompute backward (guidance takes grads through the UNet)."""
+
+    def _fwd_pallas(q, k, v):
+        b, h, sq, d = q.shape
+        kv = k.shape[2]
+        q_t = q.reshape(b * h, sq, d).transpose(0, 2, 1)
+        k_t = k.reshape(b * h, kv, d).transpose(0, 2, 1)
+        v_t = v.reshape(b * h, kv, d).transpose(0, 2, 1)
+        v_t = jnp.concatenate(
+            [v_t, jnp.ones((b * h, 1, kv), v_t.dtype)], axis=1
+        )
+        out_t = _onepass_attention_bhds(
+            q_t, k_t, v_t, scale=scale, block_q=block_q, interpret=interpret
+        )
+        return out_t.transpose(0, 2, 1).reshape(b, h, sq, d)
+
+    @jax.custom_vjp
+    def fn(q, k, v):
+        return _fwd_pallas(q, k, v)
+
+    def fwd(q, k, v):
+        return fn(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        q, k, v = res
+        _, vjp = jax.vjp(lambda a, b, c: _xla_attention(a, b, c, scale), q, k, v)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def _xla_attention(q, k, v, scale):
     """Reference-semantics attention in plain XLA (softmax in f32)."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -146,6 +270,65 @@ def _xla_attention(q, k, v, scale):
         "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     ).astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _onepass_merged_diff(scale, block_q, heads, interpret):
+    """One-pass attention straight from the merged [B, S, H*D] layout —
+    a single [B,S,H,D] -> [BH, D, S] relayout each way instead of the
+    split-head [B,H,S,D] detour (saves ~0.3 ms/site at SD shapes)."""
+
+    def _split(x, b, d):
+        return x.reshape(b, x.shape[1], heads, d).transpose(0, 2, 1, 3)
+
+    def _fwd_pallas(q, k, v):
+        b, sq, inner = q.shape
+        kv = k.shape[1]
+        d = inner // heads
+
+        def t(x):
+            return (
+                x.reshape(b, x.shape[1], heads, d)
+                .transpose(0, 2, 3, 1)
+                .reshape(b * heads, d, x.shape[1])
+            )
+
+        q_t, k_t, v_t = t(q), t(k), t(v)
+        v_t = jnp.concatenate(
+            [v_t, jnp.ones((b * heads, 1, kv), v_t.dtype)], axis=1
+        )
+        out_t = _onepass_attention_bhds(
+            q_t, k_t, v_t, scale=scale, block_q=block_q, interpret=interpret
+        )
+        return (
+            out_t.reshape(b, heads, d, sq)
+            .transpose(0, 3, 1, 2)
+            .reshape(b, sq, inner)
+        )
+
+    @jax.custom_vjp
+    def fn(q, k, v):
+        return _fwd_pallas(q, k, v)
+
+    def fwd(q, k, v):
+        return fn(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        q, k, v = res
+        b, sq, inner = q.shape
+        d = inner // heads
+
+        def ref(a, bb, c):
+            o = _xla_attention(
+                _split(a, b, d), _split(bb, b, d), _split(c, b, d), scale
+            )
+            return o.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+        _, vjp = jax.vjp(ref, q, k, v)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
 
 
 @functools.lru_cache(maxsize=64)
@@ -229,6 +412,12 @@ def flash_attention(
     if not (use_pallas or interpret):
         return _xla_attention(q, k, v, scale)
 
+    if block_k is None and kv <= _ONEPASS_MAX_KV:
+        # One-pass transposed kernel: whole KV row in VMEM, d on sublanes.
+        bq = block_q if block_q is not None else _onepass_block_q(sq, kv)
+        return _onepass_attention_diff(scale, bq, interpret)(q, k, v)
+
+    # Streaming online-softmax kernel (explicit block_k, or very long KV).
     if block_q is None:
         block_q = 512 if sq >= 512 else sq
     if block_k is None:
@@ -247,9 +436,18 @@ def attention(
 ) -> jax.Array:
     """Attention over [B, S, H*D] tensors (the SpatialTransformer layout,
     reference attention.py:280-348). Splits heads, runs flash attention,
-    re-merges."""
+    re-merges. When the one-pass kernel applies, uses a direct
+    merged-layout path that skips the intermediate [B,H,S,D] relayout."""
     b, sq, inner = q.shape
+    kv = k.shape[1]
     d = inner // num_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and 128 < kv <= _ONEPASS_MAX_KV:
+        bq = _onepass_block_q(sq, kv)
+        return _onepass_merged_diff(scale, bq, num_heads, False)(q, k, v)
 
     def split(x):
         return x.reshape(b, x.shape[1], num_heads, d).transpose(0, 2, 1, 3)

@@ -574,6 +574,20 @@ def txt2img(
     return images, latents
 
 
+def img2img_t_enc(strength: float, steps: int, family: str) -> int:
+    """Denoise-step count for img2img.
+
+    The reference uses OPPOSITE conventions per family: the DDIM/PLMS
+    wrapper runs ``strength * steps`` denoise steps
+    (diffusion.py:118: ``t_enc = int(min(strength, 0.999) * steps)``)
+    while the k-diffusion wrapper runs ``(1 - strength) * steps``
+    (k_diffusion.py:37). Both quirks are preserved verbatim.
+    """
+    if family == "t":
+        return max(1, min(int(min(strength, 0.999) * steps), steps))
+    return int((1 - min(strength, 0.999)) * steps)
+
+
 def img2img(
     bundle: ModelBundle,
     image: np.ndarray,
@@ -610,8 +624,7 @@ def img2img(
             bundle.tables, cfg.steps, eta=cfg.eta, discretize=cfg.discretize
         )
         s = itables.num_steps
-        t_enc = int((1 - cfg.denoising_strength) * s)
-        t_enc = max(1, min(t_enc, s))
+        t_enc = img2img_t_enc(cfg.denoising_strength, s, "t")
         # stochastic encode to timestep t_enc (discrete.py:655-679, with the
         # mathematically-correct sqrt(a_t) — documented deviation)
         a_t = float(itables.alphas_cumprod_t[t_enc - 1])
@@ -623,7 +636,7 @@ def img2img(
         )
     else:
         sigmas = _sigma_schedule(bundle, cfg)
-        t_enc = int((1 - min(cfg.denoising_strength, 0.999)) * cfg.steps)
+        t_enc = img2img_t_enc(cfg.denoising_strength, cfg.steps, "k")
         # start index into the sigma schedule (k_diffusion.py:38-46)
         idx = max(0, cfg.steps - t_enc - 1)
         noise = jax.random.normal(k_noise, z0.shape, jnp.float32)

@@ -78,6 +78,55 @@ class TestFlashAttention:
             np.asarray(out, np.float32), ref, atol=2e-2, rtol=2e-2
         )
 
+    @pytest.mark.parametrize(
+        "sq,skv,d",
+        [
+            (256, 256, 128),  # aligned
+            (256, 200, 64),   # kv unaligned -> in-kernel row mask
+            (100, 260, 40),   # sq unaligned + SD level-0 head dim
+            (384, 384, 80),   # SD level-1 head dim
+        ],
+    )
+    def test_onepass_matches_reference(self, sq, skv, d):
+        # block_k=None + kv>128 routes to the one-pass transposed kernel
+        key = jax.random.PRNGKey(7)
+        kq, kk, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (2, 2, sq, d), jnp.float32)
+        k = jax.random.normal(kk, (2, 2, skv, d), jnp.float32)
+        v = jax.random.normal(kv_, (2, 2, skv, d), jnp.float32)
+        out = ops.flash_attention(q, k, v, interpret=True)
+        ref = _ref_attention(q, k, v, 1.0 / np.sqrt(d))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+    def test_onepass_block_q_tiling(self):
+        # sq spanning several query blocks
+        key = jax.random.PRNGKey(8)
+        kq, kk, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 1, 512, 40), jnp.float32)
+        k = jax.random.normal(kk, (1, 1, 256, 40), jnp.float32)
+        v = jax.random.normal(kv_, (1, 1, 256, 40), jnp.float32)
+        out = ops.flash_attention(q, k, v, interpret=True, block_q=128)
+        ref = _ref_attention(q, k, v, 1.0 / np.sqrt(40))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+    def test_onepass_gradient(self):
+        # custom VJP: XLA-recompute backward must match pure-XLA grads
+        key = jax.random.PRNGKey(9)
+        kq, kk, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 2, 160, 40), jnp.float32)
+        k = jax.random.normal(kk, (1, 2, 160, 40), jnp.float32)
+        v = jax.random.normal(kv_, (1, 2, 160, 40), jnp.float32)
+
+        def loss_pallas(q):
+            return jnp.sum(ops.flash_attention(q, k, v, interpret=True) ** 2)
+
+        def loss_xla(q):
+            return jnp.sum(ops.flash_attention(q, k, v, use_pallas=False) ** 2)
+
+        g_p = jax.grad(loss_pallas)(q)
+        g_x = jax.grad(loss_xla)(q)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-4, rtol=1e-4)
+
     def test_merged_head_layout(self):
         key = jax.random.PRNGKey(4)
         kq, kk, kv_ = jax.random.split(key, 3)

@@ -97,6 +97,24 @@ class TestImg2Img:
         )
         assert np.isfinite(np.asarray(lat)).all()
 
+    def test_strength_monotonic(self, bundle):
+        """t-family: higher denoising_strength must move the output FURTHER
+        from the input (strength*steps denoise steps, diffusion.py:118 —
+        round 1 had this inverted)."""
+        from complex_prompt_diffusion_tpu.pipeline import encode_image
+
+        imgs, _ = txt2img(bundle, "a cat", cfg=_cfg(seed=3))
+        z0 = np.asarray(encode_image(bundle, imgs[0], key=jax.random.PRNGKey(0)))
+        dists = []
+        for strength in (0.2, 0.6, 0.95):
+            _, lat = img2img(
+                bundle, imgs[0], "a dog",
+                cfg=_cfg(steps=10, denoising_strength=strength, seed=3),
+                decode=False,
+            )
+            dists.append(float(np.linalg.norm(np.asarray(lat) - z0)))
+        assert dists[0] < dists[1] < dists[2], dists
+
 
 class TestDepthConditioning:
     def test_depth2img_unet(self):

@@ -275,3 +275,98 @@ class TestReferenceParity:
         np.testing.assert_allclose(
             np.asarray(x0).transpose(0, 3, 1, 2), ref_out, atol=2e-3, rtol=1e-3
         )
+
+    @pytest.mark.parametrize("strength", [0.1, 0.5, 0.75, 0.999, 1.0])
+    def test_img2img_t_enc_matches_reference(self, strength):
+        """t-family: diffusion.py:118; k-family: k_diffusion.py:37."""
+        from complex_prompt_diffusion_tpu.pipeline import img2img_t_enc
+
+        steps = 50
+        ref_t = int(min(strength, 0.999) * steps)  # diffusion.py:118
+        assert img2img_t_enc(strength, steps, "t") == max(1, ref_t)
+        ref_k = int((1 - min(strength, 0.999)) * steps)  # k_diffusion.py:37
+        assert img2img_t_enc(strength, steps, "k") == ref_k
+
+    def test_img2img_decode_matches_reference(self):
+        """stochastic_encode -> decode trajectory parity: the reference
+        DDIMSampler.decode partial reverse chain (ddim.py:684-737) vs our
+        sample_ddim(t_start=t_enc), same fake UNet, same noised latent."""
+        import torch
+
+        from cpd.samplers.ddim import DDIMSampler
+
+        class FakeUNet(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.p = torch.nn.Parameter(torch.zeros(1))
+
+            def forward(self, x, t, c):
+                tt = t.float().reshape(-1, 1, 1, 1)
+                cm = c.float().mean(dim=(1, 2)).reshape(-1, 1, 1, 1)
+                return 0.05 * x + 0.01 * torch.sin(tt * 0.01) + 0.02 * cm
+
+        class Empty(torch.nn.Module):
+            pass
+
+        model = {
+            "unet": FakeUNet(),
+            "vae": Empty(),
+            "tokenizer": None,
+            "decode": lambda z: z,
+            "clip_new_model": Empty(),
+        }
+        sampler = DDIMSampler(model, logger=lambda *a: None)
+        sampler.device = "cpu"
+
+        rng = np.random.default_rng(7)
+        steps, t_enc, b, c_ch, h, w = 8, 5, 1, 4, 8, 8
+        z0 = rng.normal(size=(b, c_ch, h, w)).astype(np.float32)
+        noise = rng.normal(size=(b, c_ch, h, w)).astype(np.float32)
+        uc = rng.normal(size=(b, 7, 16)).astype(np.float32)
+        emb = rng.normal(size=(b, 7, 16)).astype(np.float32)
+
+        # the reference wrapper calls sampler.make_schedule (diffusion.py:117)
+        # which does not exist anywhere in the reference — its working
+        # equivalent is scheduler.set_timesteps (ddim.py:752)
+        sampler.scheduler.set_timesteps(steps, eta=0.0)
+        sampler.timesteps = sampler.scheduler.timesteps
+        # encode with the reference's own stochastic_encode so both sides
+        # decode the identical x_t
+        x_t = sampler.stochastic_encode(
+            torch.tensor(z0), t_enc, noise=torch.tensor(noise)
+        )
+        cond = {"and": [(1.0, torch.tensor(emb), None, torch.tensor(1.0))]}
+        ref_out = sampler.decode(
+            x_t.clone(), cond, t_enc,
+            unconditional_guidance_scale=7.5,
+            unconditional_conditioning=torch.tensor(uc),
+            silent=True,
+        ).numpy()
+
+        # ---- ours: same x_t, same partial chain ----
+        def unet_eps(x, t, ctx):  # NHWC
+            tt = t.astype(jnp.float32).reshape(-1, 1, 1, 1)
+            cm = ctx.astype(jnp.float32).mean(axis=(1, 2)).reshape(-1, 1, 1, 1)
+            return 0.05 * x + 0.01 * jnp.sin(tt * 0.01) + 0.02 * cm
+
+        spec = GuidanceSpec(
+            uncond=jnp.asarray(uc[0]),
+            factors=jnp.asarray(emb[0])[None],
+            scales=jnp.asarray([1.0]),
+            masks=jnp.ones((1, 1, 1, 1)),
+        )
+        eps_fn, _ = make_denoiser(
+            unet_eps, spec, gcfg=GuidanceConfig(guidance_scale=7.5)
+        )
+        tables = self._tables()
+        it = S.make_inference_tables(tables, steps, eta=0.0)
+        x0, _ = SA.sample_ddim(
+            eps_fn,
+            jnp.asarray(np.asarray(x_t).transpose(0, 2, 3, 1)),
+            it,
+            np.full(steps, 7.5),
+            t_start=t_enc,
+        )
+        np.testing.assert_allclose(
+            np.asarray(x0).transpose(0, 3, 1, 2), ref_out, atol=2e-3, rtol=1e-3
+        )
