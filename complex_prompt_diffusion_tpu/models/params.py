@@ -26,12 +26,16 @@ from complex_prompt_diffusion_tpu.models.vae import VAEConfig
 __all__ = [
     "load_state_dict",
     "convert_unet",
+    "convert_unet_diffusers",
+    "diffusers_to_compvis_unet",
     "convert_vae",
     "convert_clip_hf",
     "convert_clip_openclip",
+    "convert_clip_vision_hf",
     "load_sd_checkpoint",
     "attach_hypernetwork",
     "make_it_fit",
+    "zero_extend_input_conv",
 ]
 
 Array = np.ndarray
@@ -187,6 +191,125 @@ def convert_unet(
     if cfg.num_classes and f"{prefix}label_emb.weight" in sd:
         params["label_emb"] = {"embedding": sd[f"{prefix}label_emb.weight"]}
     return params
+
+
+# --------------------------------------------------------------------------
+# Diffusers UNet layout (UNet2DConditionModel, unet_2d_condition.py:50 —
+# the reference's second model path, used by pipeline/clipguided_txt2img.py
+# and null inversion). Translated key-by-key to the CompVis layout, then fed
+# through convert_unet.
+# --------------------------------------------------------------------------
+
+_DIFFUSERS_RES_MAP = {
+    "norm1": "in_layers.0",
+    "conv1": "in_layers.2",
+    "time_emb_proj": "emb_layers.1",
+    "norm2": "out_layers.0",
+    "conv2": "out_layers.3",
+    "conv_shortcut": "skip_connection",
+}
+
+
+def diffusers_to_compvis_unet(sd: StateDict, prefix: str = "") -> Dict[str, Array]:
+    """Translate a diffusers ``UNet2DConditionModel`` state_dict to CompVis
+    ``model.diffusion_model``-style keys (without the prefix).
+
+    Block-index correspondence (diffusers down/mid/up <-> CompVis
+    input/middle/output): input_blocks[0] = conv_in; each down level i
+    contributes R resnets (+attentions) at 1+i*(R+1)+j and a downsampler at
+    1+i*(R+1)+R; up levels have R+1 resnets with the upsampler appended as
+    an extra sublayer of the level's last block.
+    """
+    import re
+
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    # layers_per_block (R) and which up levels carry attention
+    r_down = -1
+    up_attn_levels = set()
+    for k in sd:
+        m = re.match(r"down_blocks\.(\d+)\.resnets\.(\d+)\.", k)
+        if m:
+            r_down = max(r_down, int(m.group(2)) + 1)
+        m = re.match(r"up_blocks\.(\d+)\.attentions\.", k)
+        if m:
+            up_attn_levels.add(int(m.group(1)))
+    if r_down <= 0:
+        raise ValueError("not a diffusers UNet state_dict (no down_blocks.*)")
+    r = r_down
+
+    out: Dict[str, Array] = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        if k.startswith("conv_in."):
+            nk = f"input_blocks.0.0.{parts[-1]}"
+        elif k.startswith("time_embedding.linear_1."):
+            nk = f"time_embed.0.{parts[-1]}"
+        elif k.startswith("time_embedding.linear_2."):
+            nk = f"time_embed.2.{parts[-1]}"
+        elif k.startswith("class_embedding."):
+            nk = f"label_emb.{parts[-1]}"
+        elif k.startswith("conv_norm_out."):
+            nk = f"out.0.{parts[-1]}"
+        elif k.startswith("conv_out."):
+            nk = f"out.2.{parts[-1]}"
+        elif parts[0] == "down_blocks":
+            i, kind, j = int(parts[1]), parts[2], int(parts[3])
+            rest = ".".join(parts[4:])
+            if kind == "resnets":
+                head, _, tail = rest.partition(".")
+                nk = (
+                    f"input_blocks.{1 + i * (r + 1) + j}.0."
+                    f"{_DIFFUSERS_RES_MAP[head]}.{tail}"
+                )
+            elif kind == "attentions":
+                nk = f"input_blocks.{1 + i * (r + 1) + j}.1.{rest}"
+            elif kind == "downsamplers":
+                nk = f"input_blocks.{1 + i * (r + 1) + r}.0.op.{parts[-1]}"
+            else:
+                raise ValueError(f"unknown down_blocks entry {k!r}")
+        elif parts[0] == "mid_block":
+            kind, j = parts[1], int(parts[2])
+            rest = ".".join(parts[3:])
+            if kind == "resnets":
+                head, _, tail = rest.partition(".")
+                nk = f"middle_block.{0 if j == 0 else 2}.{_DIFFUSERS_RES_MAP[head]}.{tail}"
+            elif kind == "attentions":
+                nk = f"middle_block.1.{rest}"
+            else:
+                raise ValueError(f"unknown mid_block entry {k!r}")
+        elif parts[0] == "up_blocks":
+            i, kind, j = int(parts[1]), parts[2], int(parts[3])
+            rest = ".".join(parts[4:])
+            # diffusers up levels have R+1 resnets each
+            if kind == "resnets":
+                head, _, tail = rest.partition(".")
+                nk = (
+                    f"output_blocks.{i * (r + 1) + j}.0."
+                    f"{_DIFFUSERS_RES_MAP[head]}.{tail}"
+                )
+            elif kind == "attentions":
+                nk = f"output_blocks.{i * (r + 1) + j}.1.{rest}"
+            elif kind == "upsamplers":
+                sub = 2 if i in up_attn_levels else 1
+                nk = f"output_blocks.{i * (r + 1) + r}.{sub}.conv.{parts[-1]}"
+            else:
+                raise ValueError(f"unknown up_blocks entry {k!r}")
+        else:
+            # time_proj buffers etc. have no parameters; skip unknown
+            # non-parameter entries silently only if tensor-free
+            continue
+        out[nk] = v
+    return out
+
+
+def convert_unet_diffusers(
+    cfg: UNetConfig, sd: StateDict, prefix: str = ""
+) -> Dict[str, Any]:
+    """Load a diffusers-layout UNet state_dict onto the (single) CompVis-plan
+    UNet — SURVEY §7 hard-part #5's second key map."""
+    return convert_unet(cfg, diffusers_to_compvis_unet(sd, prefix), prefix="")
 
 
 # --------------------------------------------------------------------------
@@ -354,6 +477,52 @@ def convert_clip_openclip(
     return params
 
 
+def convert_clip_vision_hf(
+    cfg, sd: StateDict, prefix: str = ""
+) -> Dict[str, Any]:
+    """HF ``CLIPVisionModelWithProjection`` layout — the guide CLIP the
+    reference loads for gradient guidance (diffusion.py:24-26,
+    clipguided_txt2img.py feature_extractor path). ``cfg``:
+    ``CLIPVisionConfig``."""
+    v = f"{prefix}vision_model."
+    params: Dict[str, Any] = {
+        "class_embedding": sd[f"{v}embeddings.class_embedding"],
+        # torch conv [O, I, kh, kw] -> HWIO
+        "patch_embedding": np.transpose(
+            sd[f"{v}embeddings.patch_embedding.weight"], (2, 3, 1, 0)
+        ),
+        "position_embedding": sd[f"{v}embeddings.position_embedding.weight"],
+        # HF's actual attribute name is the misspelled "pre_layrnorm"
+        "pre_ln": _norm(
+            sd,
+            f"{v}pre_layrnorm"
+            if f"{v}pre_layrnorm.weight" in sd
+            else f"{v}pre_layernorm",
+        ),
+        "layers": [],
+        "post_ln": _norm(sd, f"{v}post_layernorm"),
+    }
+    for i in range(cfg.num_layers):
+        b = f"{v}encoder.layers.{i}"
+        params["layers"].append(
+            {
+                "ln1": _norm(sd, f"{b}.layer_norm1"),
+                "q": _linear(sd, f"{b}.self_attn.q_proj"),
+                "k": _linear(sd, f"{b}.self_attn.k_proj"),
+                "v": _linear(sd, f"{b}.self_attn.v_proj"),
+                "out": _linear(sd, f"{b}.self_attn.out_proj"),
+                "ln2": _norm(sd, f"{b}.layer_norm2"),
+                "fc1": _linear(sd, f"{b}.mlp.fc1"),
+                "fc2": _linear(sd, f"{b}.mlp.fc2"),
+            }
+        )
+    if f"{prefix}visual_projection.weight" in sd:
+        params["visual_projection"] = _linear(
+            sd, f"{prefix}visual_projection", bias=False
+        )
+    return params
+
+
 def attach_hypernetwork(unet_params, hyper_sd: StateDict, multiplier: float = 1.0):
     """Attach AUTOMATIC1111-style hypernetwork modules to the cross-attention
     k/v projections (the hook the reference installs per CrossAttention,
@@ -486,6 +655,33 @@ def make_it_fit(
     return out
 
 
+def zero_extend_input_conv(
+    sd: StateDict, new_in_channels: int, keep_dims: int = 4
+) -> Dict[str, Array]:
+    """Finetune seeding for concat-conditioned variants
+    (LatentFinetuneDiffusion.init_from_ckpt, ddpm.py:1700-1711): widen the
+    UNet input conv to ``new_in_channels``, keeping the checkpoint's first
+    ``keep_dims`` input channels and ZERO-initializing the new ones — so the
+    seeded model initially ignores the concat conditioning and reproduces
+    the base model exactly. Raw torch-layout [out, in, kh, kw] state dict.
+    """
+    key = "model.diffusion_model.input_blocks.0.0.weight"
+    ema_key = "model_ema.diffusion_modelinput_blocks00weight"
+    out = dict(sd)
+    for k in (key, ema_key):
+        if k not in sd:
+            continue
+        old = np.asarray(sd[k])
+        if old.shape[1] >= new_in_channels:
+            continue
+        new = np.zeros(
+            (old.shape[0], new_in_channels) + old.shape[2:], old.dtype
+        )
+        new[:, :keep_dims] = old[:, :keep_dims]
+        out[k] = new
+    return out
+
+
 def detect_sd_version(sd: StateDict) -> str:
     """'sd2' if the checkpoint carries an OpenCLIP tower or 1024-dim context."""
     if any(k.startswith("cond_stage_model.model.") for k in sd):
@@ -498,19 +694,24 @@ def load_sd_checkpoint(path: str, use_ema: bool = False):
     (unet_cfg, unet_params, vae_cfg, vae_params, clip_cfg, clip_params, version).
     Mirrors the manager's model_dict split (manager.py:18-23).
     ``use_ema``: prefer EMA shadow weights when present."""
+    import dataclasses
+
     sd = load_state_dict(path)
     if use_ema:
         sd = apply_ema_weights(sd)
     version = detect_sd_version(sd)
+    in_ch = sd["model.diffusion_model.input_blocks.0.0.weight"].shape[1]
     if version == "sd2":
-        in_ch = sd["model.diffusion_model.input_blocks.0.0.weight"].shape[1]
         unet_cfg = UNetConfig.sd2_depth() if in_ch == 5 else UNetConfig.sd21()
         clip_cfg = CLIPTextConfig.sd21()
         clip_params = convert_clip_openclip(clip_cfg, sd)
     else:
-        unet_cfg = UNetConfig.sd15()
+        unet_cfg = UNetConfig.sd_inpaint() if in_ch == 9 else UNetConfig.sd15()
         clip_cfg = CLIPTextConfig.sd15()
         clip_params = convert_clip_hf(clip_cfg, sd)
+    if unet_cfg.in_channels != in_ch:
+        # non-standard concat widths (finetune variants) follow the ckpt
+        unet_cfg = dataclasses.replace(unet_cfg, in_channels=in_ch)
     vae_cfg = VAEConfig.sd()
     return {
         "version": version,

@@ -11,6 +11,7 @@ attention.py:500).
 """
 
 import collections
+import os
 import sys
 import types
 
@@ -21,6 +22,12 @@ _failed = None
 
 def _stub(name, **attrs):
     m = sys.modules.setdefault(name, types.ModuleType(name))
+    if m.__spec__ is None:
+        # transformers probes importlib.util.find_spec("torchvision"),
+        # which raises ValueError on modules with __spec__ = None
+        import importlib.machinery
+
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(m, k, v)
     return m
@@ -109,4 +116,110 @@ def setup():
         return sys.modules["cpd"]
     except Exception as e:  # pragma: no cover
         _failed = e
+        return None
+
+
+_diffusers_unet_cls = None
+
+
+def setup_diffusers_unet():
+    """Make the reference's diffusers-clone UNet importable and return the
+    UNet2DConditionModel class (or None).
+
+    The clone files are dead code in the reference: unet_2d_condition.py:21-23
+    imports ``..configuration_utils`` / ``..modeling_utils`` / ``..utils``
+    which do not exist at the cpd package root (and ``modeling_utils``
+    nowhere at all); unet_2d_blocks.py:18 imports Transformer2DModel from
+    cpd.models.attention where only the file ``attention.diffusers.py``
+    (unimportable name) defines it. We supply the missing plumbing so the
+    reference MODEL MATH can serve as the parity oracle for the
+    diffusers-layout key map.
+    """
+    global _diffusers_unet_cls
+    if _diffusers_unet_cls is not None:
+        return _diffusers_unet_cls
+    if setup() is None:
+        return None
+    try:
+        import importlib.util
+        import logging as std_logging
+        import types
+
+        import torch.nn as nn
+
+        # configuration_utils.py:30,47 imports STDLIB logging but calls
+        # logging.get_logger (huggingface API) — another clone bug
+        if not hasattr(std_logging, "get_logger"):
+            std_logging.get_logger = std_logging.getLogger
+
+        import cpd.models.configuration_utils as cu
+
+        sys.modules.setdefault("cpd.configuration_utils", cu)
+
+        mu = types.ModuleType("cpd.modeling_utils")
+
+        class ModelMixin(nn.Module):
+            _supports_gradient_checkpointing = False
+            config_name = "config.json"  # real diffusers ModelMixin sets this
+
+            @property
+            def dtype(self):
+                return next(self.parameters()).dtype
+
+            @property
+            def device(self):
+                return next(self.parameters()).device
+
+        mu.ModelMixin = ModelMixin
+        sys.modules.setdefault("cpd.modeling_utils", mu)
+
+        from cpd.scheduler.util import BaseOutput
+
+        import cpd.models.logging as ref_logging
+
+        ut = types.ModuleType("cpd.utils")
+        ut.BaseOutput = BaseOutput
+        ut.logging = ref_logging
+        iu = types.ModuleType("cpd.utils.import_utils")
+        iu.is_xformers_available = lambda: False
+        ut.import_utils = iu
+        sys.modules.setdefault("cpd.utils", ut)
+        sys.modules.setdefault("cpd.utils.import_utils", iu)
+
+        # load attention.diffusers.py (dot in filename) under a proper
+        # package-relative module name, then patch its classes into
+        # cpd.models.attention where unet_2d_blocks.py:18 looks for them
+        spec = importlib.util.spec_from_file_location(
+            "cpd.models.attention_diffusers",
+            os.path.join(_REF, "cpd", "models", "attention.diffusers.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["cpd.models.attention_diffusers"] = mod
+        spec.loader.exec_module(mod)
+
+        import cpd.models.attention as ref_attn
+
+        for name in ("Transformer2DModel", "AttentionBlock", "DualTransformer2DModel"):
+            if not hasattr(ref_attn, name):
+                setattr(ref_attn, name, getattr(mod, name))
+
+        # unet_2d_condition.py:363 indexes down_block_res_samples[-1] AFTER
+        # the final up block has drained the list — an unconditional
+        # IndexError (the clone's forward never ran in the reference).
+        # Load the module with that single line guarded.
+        path = os.path.join(_REF, "cpd", "models", "unet_2d_condition.py")
+        src = open(path).read().replace(
+            "attn_return.append(down_block_res_samples[-1])",
+            "attn_return.append(down_block_res_samples[-1] "
+            "if down_block_res_samples else sample)",
+        )
+        u2c = types.ModuleType("cpd.models.unet_2d_condition")
+        u2c.__package__ = "cpd.models"
+        u2c.__file__ = path
+        exec(compile(src, path, "exec"), u2c.__dict__)
+        sys.modules["cpd.models.unet_2d_condition"] = u2c
+
+        _diffusers_unet_cls = u2c.UNet2DConditionModel
+        return _diffusers_unet_cls
+    except Exception:  # pragma: no cover
         return None

@@ -1,0 +1,192 @@
+"""Full-scale SD-1.5 checkpoint round-trip (VERDICT r1 item 4).
+
+Synthesizes a complete CompVis SD-1.5 checkpoint — the EXACT reference key
+set, produced by instantiating the reference's own torch modules at the real
+config (860M-param UNet, full VAE, CLIP-L text tower) plus LitEma shadow
+buffers — writes it with torch.save, loads it through load_sd_checkpoint,
+and activation-parity-checks every tower against the torch reference.
+
+Runs on CPU with random weights (no real checkpoints exist in this
+air-gapped environment); spatial sizes are kept small (32x32 latents) to
+bound single-core runtime — the weights and key mapping are full-scale.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from complex_prompt_diffusion_tpu import models as M
+from complex_prompt_diffusion_tpu.models import params as P
+
+import _oracle
+
+pytestmark = pytest.mark.skipif(
+    _oracle.setup() is None, reason="reference oracle unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def sd15_checkpoint(tmp_path_factory):
+    """Build the full SD-1.5 checkpoint + the live torch modules."""
+    import dataclasses
+
+    import torch
+
+    from cpd.models.unet import UNetModel
+    from cpd.models.autoencoder import Decoder, Encoder
+    from transformers import CLIPTextConfig as HFCLIPTextConfig
+    from transformers import CLIPTextModel
+
+    torch.manual_seed(0)
+    # reference UNet at the real SD-1.5 config (config-1.49.yaml:28-43)
+    unet = UNetModel(
+        image_size=32, in_channels=4, out_channels=4, model_channels=320,
+        num_res_blocks=2, attention_resolutions=[4, 2, 1],
+        channel_mult=[1, 2, 4, 4], num_heads=8, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=768, legacy=False,
+    ).eval()
+
+    ddconfig = dict(
+        double_z=True, z_channels=4, resolution=256, in_channels=3,
+        out_ch=3, ch=128, ch_mult=(1, 2, 4, 4), num_res_blocks=2,
+        attn_resolutions=[], dropout=0.0,
+    )
+    enc = Encoder(**ddconfig).eval()
+    dec = Decoder(**ddconfig).eval()
+    quant_conv = torch.nn.Conv2d(8, 8, 1)
+    post_quant_conv = torch.nn.Conv2d(4, 4, 1)
+
+    # CLIP-L text tower (SD-1.5's cond stage): width 768, 12 layers, 12
+    # heads — built from an explicit config, no hub access needed
+    clip = CLIPTextModel(
+        HFCLIPTextConfig(
+            hidden_size=768,
+            intermediate_size=3072,
+            num_hidden_layers=12,
+            num_attention_heads=12,
+            vocab_size=49408,
+            max_position_embeddings=77,
+        )
+    ).eval()
+
+    sd = {}
+    for k, v in unet.state_dict().items():
+        sd[f"model.diffusion_model.{k}"] = v
+    for k, v in enc.state_dict().items():
+        sd[f"first_stage_model.encoder.{k}"] = v
+    for k, v in dec.state_dict().items():
+        sd[f"first_stage_model.decoder.{k}"] = v
+    for k, v in quant_conv.state_dict().items():
+        sd[f"first_stage_model.quant_conv.{k}"] = v
+    for k, v in post_quant_conv.state_dict().items():
+        sd[f"first_stage_model.post_quant_conv.{k}"] = v
+    for k, v in clip.state_dict().items():
+        sd[f"cond_stage_model.transformer.{k}"] = v
+
+    # LitEma shadows (ema.py:13-27: param name with dots stripped), values
+    # deliberately different from the online weights
+    for k, v in unet.state_dict().items():
+        if v.dtype.is_floating_point:
+            sd["model_ema.diffusion_model" + k.replace(".", "")] = v * 0.5
+    sd["model_ema.num_updates"] = torch.tensor(100)
+    sd["model_ema.decay"] = torch.tensor(0.9999)
+
+    path = str(tmp_path_factory.mktemp("ckpt") / "sd15_random.ckpt")
+    torch.save({"state_dict": sd}, path)
+    return {
+        "path": path, "unet": unet, "enc": enc, "dec": dec,
+        "quant_conv": quant_conv, "post_quant_conv": post_quant_conv,
+        "clip": clip,
+    }
+
+
+class TestFullScaleRoundTrip:
+    def test_unet_parity_sd15(self, sd15_checkpoint):
+        import torch
+
+        bundle = P.load_sd_checkpoint(sd15_checkpoint["path"])
+        assert bundle["version"] == "sd1"
+        unet_cfg, unet_params = bundle["unet"]
+        import dataclasses
+
+        unet_cfg = dataclasses.replace(unet_cfg, dtype="float32")
+
+        torch.manual_seed(1)
+        x = torch.randn(1, 4, 32, 32)
+        t = torch.tensor([500])
+        c = torch.randn(1, 77, 768)
+        with torch.no_grad():
+            ref = sd15_checkpoint["unet"](x, t, c).numpy()
+
+        out = M.unet_apply(
+            unet_cfg, unet_params,
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+            jnp.asarray(t.numpy()), jnp.asarray(c.numpy()),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), ref, atol=1e-3, rtol=1e-2
+        )
+
+    def test_unet_ema_weights(self, sd15_checkpoint):
+        plain = P.load_sd_checkpoint(sd15_checkpoint["path"], use_ema=False)
+        ema = P.load_sd_checkpoint(sd15_checkpoint["path"], use_ema=True)
+        a = plain["unet"][1]["time_embed"]["lin1"]["kernel"]
+        b = ema["unet"][1]["time_embed"]["lin1"]["kernel"]
+        np.testing.assert_allclose(b, a * 0.5, rtol=1e-6)
+
+    def test_vae_parity_sd(self, sd15_checkpoint):
+        import torch
+
+        bundle = P.load_sd_checkpoint(sd15_checkpoint["path"])
+        vae_cfg, vae_params = bundle["vae"]
+
+        torch.manual_seed(2)
+        img = torch.randn(1, 3, 64, 64)
+        z = torch.randn(1, 4, 8, 8)
+        with torch.no_grad():
+            ref_moments = sd15_checkpoint["quant_conv"](
+                sd15_checkpoint["enc"](img)
+            ).numpy()
+            ref_img = sd15_checkpoint["dec"](
+                sd15_checkpoint["post_quant_conv"](z)
+            ).numpy()
+
+        post = M.vae_encode(
+            vae_cfg, vae_params, jnp.asarray(img.numpy().transpose(0, 2, 3, 1))
+        )
+        got_moments = np.concatenate(
+            [np.asarray(post.mean), np.asarray(post.logvar)], axis=-1
+        )
+        # our DiagonalGaussian clamps logvar to [-30, 20]; apply the same to
+        # the reference moments before comparing
+        ref_m = ref_moments.copy()
+        ref_m[:, 4:] = np.clip(ref_m[:, 4:], -30.0, 20.0)
+        np.testing.assert_allclose(
+            got_moments.transpose(0, 3, 1, 2), ref_m, atol=1e-3, rtol=1e-2
+        )
+        got_img = M.vae_decode(
+            vae_cfg, vae_params, jnp.asarray(z.numpy().transpose(0, 2, 3, 1))
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_img).transpose(0, 3, 1, 2), ref_img,
+            atol=1e-3, rtol=1e-2,
+        )
+
+    def test_clip_parity_sd15(self, sd15_checkpoint):
+        import torch
+
+        bundle = P.load_sd_checkpoint(sd15_checkpoint["path"])
+        clip_cfg, clip_params = bundle["clip"]
+
+        ids = np.array([[49406, 320, 2368, 49407] + [49407] * 73])
+        with torch.no_grad():
+            ref = sd15_checkpoint["clip"](
+                input_ids=torch.tensor(ids)
+            ).last_hidden_state.numpy()
+
+        out = M.clip_text_apply(clip_cfg, clip_params, jnp.asarray(ids))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-3)

@@ -125,6 +125,52 @@ class TestReferenceParity:
         out_nchw = np.asarray(out).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(out_nchw, ref_out, atol=2e-4, rtol=2e-3)
 
+    def test_unet_diffusers_layout_parity(self):
+        """Diffusers-layout weights (UNet2DConditionModel, the reference's
+        second model path: unet_2d_condition.py:50) loaded through the
+        diffusers->CompVis key map must reproduce the reference's
+        activations on our single CompVis-plan UNet."""
+        import torch
+
+        UNet2DConditionModel = _oracle.setup_diffusers_unet()
+        if UNet2DConditionModel is None:
+            pytest.skip("diffusers-clone oracle unavailable")
+
+        torch.manual_seed(2)
+        ref = UNet2DConditionModel(
+            sample_size=16,
+            in_channels=4,
+            out_channels=4,
+            down_block_types=("CrossAttnDownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "CrossAttnUpBlock2D"),
+            block_out_channels=(32, 64),
+            layers_per_block=1,
+            cross_attention_dim=32,
+            attention_head_dim=2,
+        ).eval()
+
+        x = torch.randn(2, 4, 16, 16)
+        t = torch.tensor([3, 777])
+        c = torch.randn(2, 7, 32)
+        with torch.no_grad():
+            ref_out = ref(x, t, c)
+        ref_out = getattr(ref_out, "sample", ref_out)
+        if isinstance(ref_out, (tuple, list)):
+            ref_out = ref_out[0]
+        ref_out = ref_out.numpy()
+
+        cfg = dataclasses.replace(M.UNetConfig.tiny(), dtype="float32")
+        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        params = P.convert_unet_diffusers(cfg, sd)
+        out = M.unet_apply(
+            cfg, params,
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+            jnp.asarray(t.numpy()),
+            jnp.asarray(c.numpy()),
+        )
+        out_nchw = np.asarray(out).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(out_nchw, ref_out, atol=2e-4, rtol=2e-3)
+
     def test_vae_parity(self):
         import torch
 
