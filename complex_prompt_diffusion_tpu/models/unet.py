@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from complex_prompt_diffusion_tpu.models import layers as L
 from complex_prompt_diffusion_tpu.ops import attention as mha
+from complex_prompt_diffusion_tpu.ops.mlp import geglu_ff
 
 __all__ = ["UNetConfig", "build_plan", "init_unet", "unet_apply"]
 
@@ -97,6 +98,13 @@ class UNetConfig:
             context_dim=1024,
             use_linear_in_transformer=True,
         )
+
+    @staticmethod
+    def sd_inpaint() -> "UNetConfig":
+        """LatentInpaintDiffusion (ddpm.py:1802): 9-channel input — 4 noisy
+        latents + 1 mask + 4 masked-image latents concatenated channel-wise
+        (hybrid conditioning, concat_keys=("mask", "masked_image"))."""
+        return UNetConfig(in_channels=9)
 
     @staticmethod
     def tiny(context_dim: int = 32) -> "UNetConfig":
@@ -329,13 +337,32 @@ def _hyper(hp, z):
 
 def _cross_attention(p, x, context, heads: int, collector=None, use_pallas=None):
     ctx = x if context is None else context
-    q = L.linear(p["to_q"], x)
     # optional hypernetwork context transforms applied BEFORE the k/v
     # projections (attention.py:139-144,285-292)
     ctx_k = _hyper(p["hyper_k"], ctx) if "hyper_k" in p else ctx
     ctx_v = _hyper(p["hyper_v"], ctx) if "hyper_v" in p else ctx
-    k = L.linear(p["to_k"], ctx_k)
-    v = L.linear(p["to_v"], ctx_v)
+    if context is None and "hyper_k" not in p and "hyper_v" not in p:
+        # self-attention: one fused [C, 3C] projection instead of three
+        # [C, C] matmuls — one pass over x, wider MXU N-dim (the weight
+        # concat is a trivial [C, 3C] copy vs the [B, S, C] activation)
+        w = jnp.concatenate(
+            [p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"]],
+            axis=1,
+        )
+        qkv = L.linear({"kernel": w}, x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = L.linear(p["to_q"], x)
+        if ctx_k is ctx_v:
+            # cross-attention: k and v share the context — fuse to [D, 2C]
+            w = jnp.concatenate(
+                [p["to_k"]["kernel"], p["to_v"]["kernel"]], axis=1
+            )
+            kv = L.linear({"kernel": w}, ctx_k)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            k = L.linear(p["to_k"], ctx_k)
+            v = L.linear(p["to_v"], ctx_v)
     if collector is not None and context is not None:
         # DAAM-style probability capture (reference attention.py:206-277):
         # explicit softmax path so the per-token maps exist; used on demand,
@@ -379,10 +406,13 @@ def _apply_attn(p, cfg: UNetConfig, h, context, heads, dim_head, collector=None)
             collector=collector, use_pallas=cfg.use_pallas,
         )
         y = L.layer_norm(blk["norm3"], x)
-        y = L.linear(blk["ff"]["proj"], y)
-        y, gate = jnp.split(y, 2, axis=-1)
-        y = y * L.gelu(gate)
-        x = x + L.linear(blk["ff"]["out"], y)
+        # fused GEGLU FF (ops/mlp.py): hidden activations stay in VMEM
+        x = x + geglu_ff(
+            y,
+            blk["ff"]["proj"]["kernel"], blk["ff"]["proj"]["bias"],
+            blk["ff"]["out"]["kernel"], blk["ff"]["out"]["bias"],
+            use_pallas=cfg.use_pallas,
+        )
     if cfg.use_linear_in_transformer:
         x = L.linear(p["proj_out"], x)
         x = x.reshape(n, hh_, ww_, c)

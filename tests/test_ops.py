@@ -212,3 +212,51 @@ class TestGaussianBlur:
         x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 1))
         y = ops.gaussian_blur(x, kernel_size=15)
         assert float(jnp.var(y)) < 0.3 * float(jnp.var(x))
+
+
+class TestGegluFF:
+    """Fused GEGLU feed-forward (ops/mlp.py) vs the XLA reference path."""
+
+    def _mats(self, m, c, mult=4, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(2, m, c)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(c, 2 * mult * c)).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(rng.normal(size=(2 * mult * c,)).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.normal(size=(mult * c, c)).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+        return x, w1, b1, w2, b2
+
+    def test_matches_xla(self):
+        from complex_prompt_diffusion_tpu.ops.mlp import _ff_xla, geglu_ff
+
+        x, w1, b1, w2, b2 = self._mats(96, 128)
+        ref = _ff_xla(x, w1, b1, w2, b2)
+        got = geglu_ff(x, w1, b1, w2, b2, use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def test_row_padding(self):
+        from complex_prompt_diffusion_tpu.ops.mlp import _ff_xla, geglu_ff
+
+        # M not a multiple of the row block
+        x, w1, b1, w2, b2 = self._mats(300, 128, seed=1)
+        ref = _ff_xla(x, w1, b1, w2, b2)
+        got = geglu_ff(x, w1, b1, w2, b2, use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def test_fallback_shapes(self):
+        from complex_prompt_diffusion_tpu.ops.mlp import _ff_xla, geglu_ff
+
+        # c=32 not lane-aligned -> XLA fallback, still exact
+        x, w1, b1, w2, b2 = self._mats(17, 32, seed=2)
+        ref = _ff_xla(x, w1, b1, w2, b2)
+        got = geglu_ff(x, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    def test_gradients(self):
+        from complex_prompt_diffusion_tpu.ops.mlp import _ff_xla, geglu_ff
+
+        x, w1, b1, w2, b2 = self._mats(64, 128, seed=3)
+
+        g1 = jax.grad(lambda a: jnp.sum(geglu_ff(a, w1, b1, w2, b2, use_pallas=True, interpret=True) ** 2))(x)
+        g2 = jax.grad(lambda a: jnp.sum(_ff_xla(a, w1, b1, w2, b2) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4, rtol=2e-4)
