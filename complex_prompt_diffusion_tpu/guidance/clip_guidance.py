@@ -59,22 +59,32 @@ def make_clip_guidance(
     text_embedding: jax.Array,
     gcfg: ClipGuidanceConfig = ClipGuidanceConfig(),
     latent_scale: float = 0.18215,
+    eps_in_grad_fn: Optional[Callable] = None,
 ):
     """Build clip_guide(x, e_t, a_t) -> corrected e_t.
 
     vae_decode_fn(latents_unscaled) -> images [-1, 1];
     text_embedding [P] or [1, P] — the normalized guide-CLIP text embedding.
-    """
+
+    ``eps_in_grad_fn(x) -> eps``: when given, the eps used for the x0
+    prediction INSIDE the differentiated loss is recomputed from x, so the
+    gradient flows through the UNet — the reference enables grad on the
+    UNet and re-evaluates it on the requires_grad x (ddim.py:407-410,
+    :417-466: the factor-combined eps). Without it, e_t is treated as a
+    constant (the cheaper detached approximation)."""
     text_embedding = jnp.atleast_2d(text_embedding)
     mean = jnp.asarray(CLIP_IMAGE_MEAN).reshape(1, 1, 1, 3)
     std = jnp.asarray(CLIP_IMAGE_STD).reshape(1, 1, 1, 3)
 
     def loss_fn(x, e_t, a_t):
+        if eps_in_grad_fn is not None:
+            e_t = eps_in_grad_fn(x)
         pred_x0 = (x - jnp.sqrt(1.0 - a_t) * e_t) / jnp.sqrt(a_t)
         img = vae_decode_fn(pred_x0 / latent_scale)
         img = jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+        size = vision_cfg.image_size
         img = jax.image.resize(
-            img, (img.shape[0], 224, 224, img.shape[-1]), method="bilinear"
+            img, (img.shape[0], size, size, img.shape[-1]), method="bilinear"
         )
         img = (img - mean) / std
 
@@ -95,9 +105,10 @@ def make_clip_guidance(
         step. Returns corrected eps (ddim.py:527-532)."""
         grads = -jax.grad(loss_fn)(x, e_t, a_t)
         if gcfg.grad_scale > 0:
-            inf_norm = jnp.max(
-                jnp.abs(grads), axis=tuple(range(1, grads.ndim)), keepdims=True
-            )
+            # reference: grads.norm(p=inf, dim=1, keepdim=True) on NCHW
+            # (ddim.py:531) — a PER-PIXEL max over channels, not a global
+            # max; channels are the last axis in our NHWC layout
+            inf_norm = jnp.max(jnp.abs(grads), axis=-1, keepdims=True)
             grads = grads / jnp.maximum(inf_norm, 1e-12)
             grads = grads * (gcfg.grad_scale / 100.0)
         return e_t - jnp.sqrt(1.0 - a_t) * grads

@@ -116,6 +116,23 @@ class DiffusionModelManager:
         cfg = self._make_render_config(config)
         prompt = self._make_embedding(config)
         if mask is not None:
+            if self.bundle.unet_cfg.in_channels >= 9:
+                # finetuned inpaint model (LatentInpaintDiffusion): mask +
+                # masked-image latents as extra UNet input channels
+                from complex_prompt_diffusion_tpu.pipeline import inpaint
+
+                spec_or_text = (
+                    prompt
+                    if isinstance(prompt, str)
+                    else prompt.build_spec(
+                        cfg.height // 8, cfg.width // 8, self.bundle
+                    )
+                )
+                imgs, _ = inpaint(
+                    self.bundle, img, mask, spec_or_text,
+                    config.get("negative_prompt", ""), cfg,
+                )
+                return imgs
             return self._inpaint(img, mask, prompt, cfg, config)
         spec_or_text = (
             prompt

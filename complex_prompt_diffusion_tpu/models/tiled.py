@@ -1,0 +1,153 @@
+"""Tiled (fold/unfold) UNet inference for large canvases.
+
+Parity target: the reference's ``split_input_params`` path in
+``apply_model`` (/root/reference/cpd/models/ddpm.py:995-1077): unfold the
+latent into overlapping ``ks``-sized tiles, run the model on each tile
+independently, multiply by a border-tapered blending weight, fold the tiles
+back, and normalize by the folded weight sum. This bounds the UNet's
+attention cost (level-0 self-attention is O(S^2) in latent pixels) and its
+activation memory on canvases far above the training resolution.
+
+TPU-first deviations from the reference:
+  * tile positions are computed statically from the (static) latent shape,
+    and the tile loop is a ``lax.scan`` — one compiled program regardless
+    of canvas size, tiles processed in ``chunk``-sized batched UNet calls
+    (the reference's torch unfold materializes all tiles at once);
+  * the reference's clipped-gaussian weighting (ddpm.py get_weighting /
+    meshgrid, :939-993) is replaced by a separable linear border taper —
+    both are normalized away by the fold denominator, but the linear taper
+    is exactly 1.0 in tile interiors, so non-overlap regions reproduce the
+    single-tile result bit-exactly;
+  * every tile shares the [B] batch dim, so a chunk of k tiles runs as one
+    [k*B] UNet call — large, MXU-friendly batches instead of k sequential
+    small calls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["tile_positions", "tile_window", "tiled_apply"]
+
+
+def tile_positions(size: int, tile: int, stride: int) -> Tuple[int, ...]:
+    """Start offsets covering ``size`` with ``tile``-long windows every
+    ``stride`` px; the last window is clamped to end exactly at ``size``
+    (reference unfold semantics + full coverage)."""
+    if tile >= size:
+        return (0,)
+    pos = list(range(0, size - tile, stride))
+    pos.append(size - tile)
+    return tuple(pos)
+
+
+def tile_window(tile: int, overlap: int) -> jnp.ndarray:
+    """Separable [tile, tile, 1] blending window: linear ramp over the
+    ``overlap`` border px, 1.0 in the interior (stand-in for the
+    reference's clipped-gaussian weighting, ddpm.py:939-993 — both
+    normalize out under the fold)."""
+    if overlap <= 0:
+        return jnp.ones((tile, tile, 1), jnp.float32)
+    i = jnp.arange(tile, dtype=jnp.float32) + 0.5
+    edge = jnp.minimum(i, tile - i)
+    w = jnp.clip(edge / overlap, 1e-3, 1.0)
+    return (w[:, None] * w[None, :])[..., None]
+
+
+def tiled_apply(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    tile: int,
+    stride: Optional[int] = None,
+    *,
+    chunk: int = 1,
+) -> jax.Array:
+    """Run ``apply_fn`` ([B, tile, tile, Cin] -> [B, tile, tile, Cout]) over
+    overlapping tiles of ``x`` [B, H, W, Cin]; fold back with normalized
+    blend weights (ddpm.py:995-1077 fold/unfold semantics).
+
+    ``stride`` defaults to tile/2 (50% overlap, the reference's df=2-ish
+    regime). ``chunk`` > 1 stacks that many tiles into one batched UNet
+    call per scan step (memory/throughput trade)."""
+    b, h, w, cin = x.shape
+    stride = stride or max(tile // 2, 1)
+    if tile >= h and tile >= w:
+        return apply_fn(x)
+    ys = tile_positions(h, tile, stride)
+    xs = tile_positions(w, tile, stride)
+    pos = [(y0, x0) for y0 in ys for x0 in xs]
+    overlap = tile - stride
+    win = tile_window(tile, overlap)
+
+    cout = jax.eval_shape(
+        apply_fn, jax.ShapeDtypeStruct((b, tile, tile, cin), x.dtype)
+    ).shape[-1]
+
+    # pad the position list to a chunk multiple; duplicates are harmless
+    # (their weighted contribution is added twice and normalized back out)
+    while len(pos) % chunk:
+        pos.append(pos[-1])
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(-1, chunk, 2)
+
+    def body(carry, p):
+        acc, wsum = carry
+        # gather chunk tiles -> one [chunk*B] batched call
+        tiles = [
+            jax.lax.dynamic_slice(
+                x, (0, p[j, 0], p[j, 1], 0), (b, tile, tile, cin)
+            )
+            for j in range(chunk)
+        ]
+        out = apply_fn(jnp.concatenate(tiles, axis=0))
+        out = out.reshape(chunk, b, tile, tile, cout)
+        for j in range(chunk):
+            piece = (out[j].astype(jnp.float32) * win).astype(acc.dtype)
+            cur = jax.lax.dynamic_slice(
+                acc, (0, p[j, 0], p[j, 1], 0), (b, tile, tile, cout)
+            )
+            acc = jax.lax.dynamic_update_slice(
+                acc, cur + piece, (0, p[j, 0], p[j, 1], 0)
+            )
+            wcur = jax.lax.dynamic_slice(
+                wsum, (p[j, 0], p[j, 1], 0), (tile, tile, 1)
+            )
+            wsum = jax.lax.dynamic_update_slice(
+                wsum, wcur + win, (p[j, 0], p[j, 1], 0)
+            )
+        return (acc, wsum), None
+
+    acc = jnp.zeros((b, h, w, cout), jnp.float32)
+    wsum = jnp.zeros((h, w, 1), jnp.float32)
+    (acc, wsum), _ = jax.lax.scan(body, (acc, wsum), pos_arr)
+    return (acc / wsum).astype(x.dtype)
+
+
+def make_tiled_unet(
+    unet_apply_fn: Callable,
+    tile: int,
+    stride: Optional[int] = None,
+    chunk: int = 1,
+):
+    """Wrap a (x, t, ctx) -> eps UNet call with spatial tiling: t and ctx
+    are broadcast to each (possibly chunk-stacked) tile batch."""
+
+    def tiled(x, t, ctx):
+        b = x.shape[0]
+
+        def fn(xt):
+            reps = xt.shape[0] // b
+            t_r = jnp.tile(t, reps)
+            ctx_r = (
+                jnp.tile(ctx, (reps,) + (1,) * (ctx.ndim - 1))
+                if ctx is not None
+                else None
+            )
+            return unet_apply_fn(xt, t_r, ctx_r)
+
+        return tiled_apply(fn, x, tile, stride, chunk=chunk)
+
+    return tiled

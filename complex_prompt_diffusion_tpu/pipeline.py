@@ -37,6 +37,24 @@ __all__ = ["ModelBundle", "RenderConfig", "txt2img", "img2img", "decode_latents"
 LATENT_SCALE = 0.18215  # applied by callers in the reference too (prompts.py:326)
 
 
+def _unzero_kernels(key, params, scale: float = 0.02):
+    """Replace all-zero kernel leaves (ndim>=2) with small gaussian noise.
+
+    Used only by ModelBundle.random: checkpoint-parity init zeroes the
+    residual/projection output layers, which would make a random model's
+    output constant-zero and hide conditioning from tests. Biases and norm
+    offsets (ndim<2) stay zero."""
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(key, max(len(leaves), 1))
+    out = []
+    for k, a in zip(keys, leaves):
+        if hasattr(a, "ndim") and a.ndim >= 2 and not bool(jnp.any(a)):
+            out.append(scale * jax.random.normal(k, a.shape, a.dtype))
+        else:
+            out.append(a)
+    return jax.tree.unflatten(treedef, out)
+
+
 @dataclasses.dataclass
 class ModelBundle:
     """The model_dict equivalent (manager.py:18-23), as config+params pairs."""
@@ -88,16 +106,32 @@ class ModelBundle:
             unet_cfg = dataclasses.replace(unet_cfg, dtype="float32")
             vae_cfg = M.VAEConfig.tiny()
             clip_cfg = M.CLIPTextConfig.tiny()
+        elif scale == "tiny-inpaint":
+            # LatentInpaintDiffusion shape: 4 latent + 1 mask + 4 masked
+            unet_cfg = dataclasses.replace(
+                M.UNetConfig.tiny(context_dim=64),
+                dtype="float32", in_channels=9,
+            )
+            vae_cfg = M.VAEConfig.tiny()
+            clip_cfg = M.CLIPTextConfig.tiny()
         elif scale == "sd15":
             unet_cfg = M.UNetConfig.sd15()
             vae_cfg = M.VAEConfig.sd()
             clip_cfg = M.CLIPTextConfig.sd15()
         else:
             raise ValueError(scale)
+        # init_unet zero-initializes out_conv / proj_out / the final conv
+        # (zero_module parity, reference unet.py zero_module call sites) —
+        # correct for checkpoint loading, but a fully-random model would
+        # then output identically zero and tests could never observe input
+        # conditioning. Fill the zero-init kernels with small noise.
+        unet_params = _unzero_kernels(
+            jax.random.fold_in(key, 1), M.init_unet(key, unet_cfg)
+        )
         return ModelBundle(
             version="sd1",
             unet_cfg=unet_cfg,
-            unet_params=M.init_unet(key, unet_cfg),
+            unet_params=unet_params,
             vae_cfg=vae_cfg,
             vae_params=M.init_vae(key, vae_cfg),
             clip_cfg=clip_cfg,
@@ -147,6 +181,12 @@ class RenderConfig:
     s_noise: float = 1.0
     # img2img
     denoising_strength: float = 0.75
+    # tiled/folded UNet inference for large canvases (split_input_params
+    # fold/unfold, ddpm.py:995-1077): tile size in LATENT px (0 = untiled),
+    # stride (0 -> tile//2), and tiles batched per UNet call
+    unet_tile: int = 0
+    unet_tile_stride: int = 0
+    unet_tile_chunk: int = 1
     guidance: GuidanceConfig = GuidanceConfig()
 
     def __post_init__(self):
@@ -227,6 +267,30 @@ def _build_sampler_fn(
     """
     family, sample_fn = SA.get_sampler(cfg.sampler)
 
+    if cfg.unet_tile and cfg.guidance.attn_guide:
+        raise ValueError(
+            "tiled UNet inference (unet_tile) is incompatible with "
+            "attention-saliency guidance (skip tensors span the full canvas)"
+        )
+
+    def _make_unet_eps(unet_params):
+        """Raw UNet call, optionally wrapped with fold/unfold tiling
+        (ddpm.py:995-1077) for large canvases."""
+
+        def unet_eps(x, t, ctx):
+            return M.unet_apply(bundle.unet_cfg, unet_params, x, t, ctx)
+
+        if cfg.unet_tile:
+            from complex_prompt_diffusion_tpu.models.tiled import make_tiled_unet
+
+            return make_tiled_unet(
+                unet_eps,
+                cfg.unet_tile,
+                cfg.unet_tile_stride or None,
+                max(cfg.unet_tile_chunk, 1),
+            )
+        return unet_eps
+
     if family == "t":
         itables = S.make_inference_tables(
             bundle.tables, cfg.steps, eta=cfg.eta, discretize=cfg.discretize
@@ -256,9 +320,10 @@ def _build_sampler_fn(
             return a * out + b * x[..., : out.shape[-1]]
 
         def run(unet_params, spec, x_T, key, noises, depth_mask, guide_args):
+            raw_unet = _make_unet_eps(unet_params)
+
             def unet_eps(x, t, ctx):
-                out = M.unet_apply(bundle.unet_cfg, unet_params, x, t, ctx)
-                return _to_eps(out, x, t)
+                return _to_eps(raw_unet(x, t, ctx), x, t)
 
             def unet_eps_skips(x, t, ctx):
                 out, skips = M.unet_apply(
@@ -311,8 +376,45 @@ def _build_sampler_fn(
                                 bundle.vae_cfg, bundle.vae_params, z
                             )
 
+                        def factor_eps(x_):
+                            """Factor-combined eps recomputed under grad —
+                            the reference re-runs the (grad-enabled) UNet on
+                            the requires_grad x over the first
+                            ``factor_limit`` prompt factors and combines
+                            mask*scale*eps (ddim.py:417-466)."""
+                            k = min(
+                                max(int(cg_cfg.factor_limit), 1),
+                                spec.num_factors,
+                            )
+                            b = x_.shape[0]
+                            x_in = jnp.concatenate([x_] * k, axis=0)
+                            if depth_mask is not None:
+                                x_in = jnp.concatenate(
+                                    [
+                                        x_in,
+                                        jnp.broadcast_to(
+                                            depth_mask,
+                                            x_in.shape[:3]
+                                            + (depth_mask.shape[-1],),
+                                        ),
+                                    ],
+                                    axis=-1,
+                                )
+                            t_in = jnp.full(
+                                (b * k,), jnp.asarray(t).reshape(())
+                            )
+                            ctx_in = jnp.repeat(spec.factors[:k], b, axis=0)
+                            out = unet_eps(x_in, t_in, ctx_in)
+                            out = out.reshape((k, b) + out.shape[1:])
+                            w = (
+                                spec.masks[:k, None]
+                                * spec.scales[:k].reshape(k, 1, 1, 1, 1)
+                            )
+                            return (w * out).sum(axis=0)
+
                         guide = make_clip_guidance(
-                            vae_dec, vision_cfg, vision_params, text_emb, cg_cfg
+                            vae_dec, vision_cfg, vision_params, text_emb,
+                            cg_cfg, eps_in_grad_fn=factor_eps,
                         )
                         apply_guide = jnp.logical_and(
                             cg_cfg.freq > 0,
@@ -376,8 +478,7 @@ def _build_sampler_fn(
         uc = jnp.asarray(cfg.guidance.guidance_scale, jnp.float32)
 
         def run(unet_params, spec, x_T, key, noises, depth_mask, guide_args):
-            def unet_eps(x, t, ctx):
-                return M.unet_apply(bundle.unet_cfg, unet_params, x, t, ctx)
+            unet_eps = _make_unet_eps(unet_params)
 
             eps_fn, _ = make_denoiser(
                 unet_eps, spec, gcfg=cfg.guidance, depth_mask=depth_mask
@@ -395,8 +496,7 @@ def _build_sampler_fn(
         uc_tr = jnp.asarray(cfg.guidance.guidance_scale, jnp.float32)
 
         def run(unet_params, spec, x_T, key, noises, depth_mask, guide_args):
-            def unet_eps(x, t, ctx):
-                return M.unet_apply(bundle.unet_cfg, unet_params, x, t, ctx)
+            unet_eps = _make_unet_eps(unet_params)
 
             eps_fn, _ = make_denoiser(
                 unet_eps, spec, gcfg=cfg.guidance, depth_mask=depth_mask
@@ -427,8 +527,7 @@ def _build_sampler_fn(
         kw["eta"] = cfg.eta if cfg.eta else 1.0
 
     def run(unet_params, spec, x, key, noises, depth_mask, guide_args):
-        def unet_eps(x_, t, ctx):
-            return M.unet_apply(bundle.unet_cfg, unet_params, x_, t, ctx)
+        unet_eps = _make_unet_eps(unet_params)
 
         _, den_fn = make_denoiser(
             unet_eps, spec, gcfg=cfg.guidance,
@@ -649,6 +748,60 @@ def img2img(
     return images, latents
 
 
+def inpaint(
+    bundle: ModelBundle,
+    image: np.ndarray,
+    mask: np.ndarray,
+    prompt: Union[str, GuidanceSpec],
+    negative_prompt: str = "",
+    cfg: RenderConfig = RenderConfig(),
+    *,
+    key: Optional[jax.Array] = None,
+    decode: bool = True,
+):
+    """Finetuned-inpaint-model path (LatentInpaintDiffusion,
+    ddpm.py:1802-1851): the UNet consumes 9 channels — noisy latents plus a
+    channel-wise concat of [mask (nearest-resized to the latent grid),
+    VAE-encoded masked image], concat_keys=("mask", "masked_image") order.
+    Requires an inpaint-shaped bundle (unet_cfg.in_channels == 9); for plain
+    SD weights use the RePaint sampler path (the manager's mask dispatch
+    picks automatically).
+
+    ``mask``: [H, W] (or [H, W, 1]) array, nonzero = region to regenerate.
+    """
+    if bundle.unet_cfg.in_channels < 9:
+        raise ValueError(
+            "bundle is not an inpaint model "
+            f"(unet in_channels={bundle.unet_cfg.in_channels}, need 9); "
+            "use the RePaint path for plain SD checkpoints"
+        )
+    spec = (
+        prompt
+        if isinstance(prompt, GuidanceSpec)
+        else make_guidance_spec(bundle, prompt, negative_prompt)
+    )
+    key = jax.random.PRNGKey(cfg.seed) if key is None else key
+    k_enc, k_samp = jax.random.split(key)
+
+    m = np.asarray(mask, np.float32)
+    if m.ndim == 3:
+        m = m[..., 0]
+    m = (m > 0.5).astype(np.float32)
+    img = np.asarray(image, np.float32)
+    masked = img * (1.0 - m)[..., None]  # mask=1 -> hole to regenerate
+    masked_z = encode_image(bundle, masked, key=k_enc)
+    lh, lw = masked_z.shape[1], masked_z.shape[2]
+    mask_lat = jax.image.resize(
+        jnp.asarray(m)[None, :, :, None], (1, lh, lw, 1), "nearest"
+    )
+    concat = jnp.concatenate([mask_lat, masked_z], axis=-1)  # [1,lh,lw,5]
+    latents = sample_latents(
+        bundle, spec, cfg, key=k_samp, depth_mask=concat
+    )
+    images = decode_latents(bundle, latents) if decode else None
+    return images, latents
+
+
 def depth2img(
     bundle: ModelBundle,
     image: np.ndarray,
@@ -751,7 +904,9 @@ def load_bundle(path: str, vocab_path: Optional[str] = None) -> ModelBundle:
         clip_cfg=_cfg(M.CLIPTextConfig, meta["clip_cfg"]),
         clip_params=params["clip"],
         tokenizer=get_tokenizer(
-            vocab_path, pad_with_eos=(meta["version"] == "sd1")
+            vocab_path,
+            pad_with_eos=(meta["version"] == "sd1"),
+            vocab_size=meta["clip_cfg"].get("vocab_size", 49408),
         ),
         tables=S.make_diffusion_tables(),
         parameterization=meta["parameterization"],

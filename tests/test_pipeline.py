@@ -116,6 +116,100 @@ class TestImg2Img:
         assert dists[0] < dists[1] < dists[2], dists
 
 
+class TestInpaintModel:
+    """Finetuned inpaint family (LatentInpaintDiffusion, ddpm.py:1802)."""
+
+    def test_inpaint_runs_and_mask_matters(self):
+        from complex_prompt_diffusion_tpu.pipeline import inpaint
+
+        b = ModelBundle.random("tiny-inpaint")
+        assert b.unet_cfg.in_channels == 9
+        # tiny VAE downsamples 2x (not 8x): an 8x8 image gives the 4x4
+        # latent grid that _cfg()'s 32x32 render expects
+        img = (np.random.default_rng(0).random((8, 8, 3)) * 255).astype(np.uint8)
+        mask_a = np.zeros((8, 8), np.float32)
+        mask_a[2:6, 2:6] = 1.0
+        mask_b = np.zeros((8, 8), np.float32)
+        mask_b[0:2, 0:2] = 1.0
+        out, lat_a = inpaint(b, img, mask_a, "a cat", cfg=_cfg(seed=4))
+        assert out.dtype == np.uint8
+        assert np.isfinite(np.asarray(lat_a)).all()
+        _, lat_b = inpaint(b, img, mask_b, "a cat", cfg=_cfg(seed=4), decode=False)
+        # the mask + masked-image channels condition the UNet
+        assert not np.allclose(np.asarray(lat_a), np.asarray(lat_b))
+
+    def test_plain_bundle_rejected(self, bundle):
+        from complex_prompt_diffusion_tpu.pipeline import inpaint
+
+        img = np.zeros((32, 32, 3), np.uint8)
+        mask = np.ones((32, 32), np.float32)
+        with pytest.raises(ValueError, match="not an inpaint model"):
+            inpaint(bundle, img, mask, "a cat", cfg=_cfg())
+
+    def test_zero_extend_input_conv(self):
+        from complex_prompt_diffusion_tpu.models.params import (
+            zero_extend_input_conv,
+        )
+
+        rng = np.random.default_rng(1)
+        w = rng.normal(size=(32, 4, 3, 3)).astype(np.float32)
+        sd = {
+            "model.diffusion_model.input_blocks.0.0.weight": w,
+            "model_ema.diffusion_modelinput_blocks00weight": w * 0.5,
+        }
+        out = zero_extend_input_conv(sd, 9)
+        nw = out["model.diffusion_model.input_blocks.0.0.weight"]
+        assert nw.shape == (32, 9, 3, 3)
+        np.testing.assert_array_equal(nw[:, :4], w)
+        np.testing.assert_array_equal(nw[:, 4:], 0.0)
+        ne = out["model_ema.diffusion_modelinput_blocks00weight"]
+        np.testing.assert_array_equal(ne[:, :4], w * 0.5)
+
+    def test_zero_extended_model_ignores_concat(self):
+        """Seeding per ddpm.py:1700-1711: with zero-initialized extra input
+        channels, the 9-ch model must reproduce the base 4-ch model exactly,
+        whatever the concat conditioning contains."""
+        cfg4 = dataclasses.replace(M.UNetConfig.tiny(), dtype="float32")
+        cfg9 = dataclasses.replace(cfg4, in_channels=9)
+        import copy
+
+        p4 = M.init_unet(jax.random.PRNGKey(0), cfg4)
+        # graft: all weights shared except the widened, zero-padded input conv
+        p9 = copy.deepcopy(p4)
+        k4 = p4["input_blocks"][0][0]["kernel"]  # HWIO
+        k9 = np.zeros(k4.shape[:2] + (9, k4.shape[3]), np.float32)
+        k9[:, :, :4, :] = np.asarray(k4)
+        p9["input_blocks"][0][0] = dict(
+            p4["input_blocks"][0][0], kernel=jnp.asarray(k9)
+        )
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 4))
+        extra = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 5))
+        t = jnp.array([7])
+        ctx = jax.random.normal(jax.random.PRNGKey(4), (1, 7, 32))
+        base = M.unet_apply(cfg4, p4, x, t, ctx)
+        wide = M.unet_apply(
+            cfg9, p9, jnp.concatenate([x, extra], -1), t, ctx
+        )
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(wide), atol=1e-5
+        )
+
+    def test_manager_dispatch_inpaint_model(self):
+        from complex_prompt_diffusion_tpu.manager import DiffusionModelManager
+
+        mgr = DiffusionModelManager(bundle=ModelBundle.random("tiny-inpaint"))
+        img = (np.random.default_rng(2).random((8, 8, 3)) * 255).astype(np.uint8)
+        mask = np.zeros((8, 8), np.float32)
+        mask[2:6, 2:6] = 1.0
+        out = mgr.process_img2img(
+            img,
+            {"sampler": {"name": "DDIM"}, "prompt": "a cat",
+             "render": {"steps": 3, "W": 32, "H": 32}},
+            mask=mask,
+        )
+        assert out.dtype == np.uint8 and np.isfinite(out).all()
+
+
 class TestDepthConditioning:
     def test_depth2img_unet(self):
         # 5-channel tiny UNet + depth mask channel (ddim.py:274-276 semantics)
