@@ -16,6 +16,8 @@ ICI.
 
 from __future__ import annotations
 
+import contextlib
+import dataclasses
 import functools
 from typing import Any, Callable, Optional, Tuple
 
@@ -26,7 +28,7 @@ import optax
 from complex_prompt_diffusion_tpu import models as M
 from complex_prompt_diffusion_tpu.schedules import DiffusionTables
 
-__all__ = ["p_losses", "make_train_step", "ema_update"]
+__all__ = ["p_losses", "make_train_step", "ema_update", "LitEma", "ema_scope"]
 
 
 def q_sample(tables: DiffusionTables, x0, t, noise):
@@ -150,3 +152,67 @@ def ema_update(ema_params, params, decay: float = 0.9999, step: Optional[int] = 
     return jax.tree.map(
         lambda e, p: e * decay + (1.0 - decay) * p, ema_params, params
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class LitEma:
+    """Functional LitEma (ema.py:5-80): shadow weights + warmup decay +
+    the store/copy_to/restore validation-swap scope.
+
+    The reference mutates module parameters in place; here every method
+    returns a new ``LitEma`` (and ``copy_to`` returns the weights to
+    evaluate with), so the swap is explicit pytree plumbing instead of
+    hidden state. ``num_updates`` drives the reference's warmup decay
+    min(decay, (1+n)/(10+n)) and is disabled the same way
+    (use_num_updates=False -> fixed decay)."""
+
+    shadow: Any
+    decay: float = 0.9999
+    num_updates: int = 0
+    use_num_updates: bool = True
+    stored: Any = None
+
+    @staticmethod
+    def create(params, decay: float = 0.9999, use_num_updates: bool = True):
+        """ema.py:13-27 — shadow starts as a copy of the online weights."""
+        return LitEma(
+            shadow=jax.tree.map(jnp.asarray, params),
+            decay=decay,
+            use_num_updates=use_num_updates,
+        )
+
+    def update(self, params) -> "LitEma":
+        """ema.py:29-48 (forward/__call__): one shadow decay step."""
+        n = self.num_updates + 1 if self.use_num_updates else self.num_updates
+        step = n if self.use_num_updates else None
+        return dataclasses.replace(
+            self,
+            shadow=ema_update(self.shadow, params, self.decay, step=step),
+            num_updates=n,
+        )
+
+    def store(self, params) -> "LitEma":
+        """ema.py:50-57: remember the online weights before a swap-in."""
+        return dataclasses.replace(self, stored=params)
+
+    def copy_to(self):
+        """ema.py:59-68: the weights to run validation with."""
+        return self.shadow
+
+    def restore(self):
+        """ema.py:70-80: the online weights remembered by ``store``."""
+        if self.stored is None:
+            raise ValueError("LitEma.restore called without a prior store")
+        return self.stored
+
+
+@contextlib.contextmanager
+def ema_scope(params, ema: Optional[LitEma], enabled: bool = True):
+    """The reference's ``ema_scope`` (ddpm.py use sites): within the block,
+    evaluate with EMA weights; the caller's own ``params`` binding is its
+    restore. Yields the weights to use (EMA shadow when enabled and
+    available, the online weights otherwise)."""
+    if enabled and ema is not None:
+        yield ema.copy_to()
+    else:
+        yield params
