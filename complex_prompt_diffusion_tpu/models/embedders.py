@@ -73,12 +73,19 @@ def _rms_norm(scale, x, eps):
 
 
 def relative_position_bucket(
-    relative_position, num_buckets: int = 32, max_distance: int = 128
+    relative_position,
+    num_buckets: int = 32,
+    max_distance: int = 128,
+    bidirectional: bool = True,
 ):
-    """T5's bidirectional relative position bucketing."""
-    num_buckets //= 2
-    ret = (relative_position > 0).astype(np.int64) * num_buckets
-    n = np.abs(relative_position)
+    """T5's relative position bucketing (host-side numpy)."""
+    if bidirectional:
+        num_buckets //= 2
+        ret = (relative_position > 0).astype(np.int64) * num_buckets
+        n = np.abs(relative_position)
+    else:
+        ret = np.zeros_like(relative_position, dtype=np.int64)
+        n = np.maximum(-relative_position, 0)
     max_exact = num_buckets // 2
     is_small = n < max_exact
     val_large = max_exact + (
@@ -199,7 +206,14 @@ def convert_t5_hf(cfg: T5Config, sd, prefix: str = "encoder.") -> dict:
 @dataclasses.dataclass(frozen=True)
 class TransformerTextConfig:
     """BERTEmbedder defaults (embedder.py:704-726): n_embed=1280, n_layer=32,
-    vocab 30522, max_seq_len 77."""
+    vocab 30522, max_seq_len 77.
+
+    The opt-in flags mirror the reference's x-transformers AttentionLayers
+    surface (embedder.py:196-617): ``talking_heads`` (pre/post-softmax head
+    mixing, :226-307,337), ``use_rmsnorm``/``use_scalenorm`` (:398-400),
+    ``causal`` (:264-ish mask path), and the T5-style bucketed relative
+    position bias the wrapper exposes as rel_pos (:362-390; the reference
+    instance hardcodes rel_pos=None — here it actually works)."""
 
     vocab_size: int = 30522
     hidden_size: int = 1280
@@ -208,36 +222,72 @@ class TransformerTextConfig:
     max_length: int = 77
     mlp_ratio: int = 4
     dtype: str = "float32"
+    causal: bool = False
+    talking_heads: bool = False
+    use_rmsnorm: bool = False
+    use_scalenorm: bool = False
+    rel_pos_bias: bool = False
+    rel_pos_num_buckets: int = 32
+    rel_pos_max_distance: int = 128
 
     @staticmethod
-    def tiny() -> "TransformerTextConfig":
+    def tiny(**kw) -> "TransformerTextConfig":
         return TransformerTextConfig(
-            vocab_size=1000, hidden_size=64, num_layers=2, num_heads=4
+            vocab_size=1000, hidden_size=64, num_layers=2, num_heads=4, **kw
         )
+
+
+def _init_norm(cfg, d):
+    if cfg.use_scalenorm:
+        return {"g": jnp.ones((1,), jnp.float32)}
+    return L.init_layer_norm(d)  # rmsnorm reads only "scale"
+
+
+def _apply_norm(cfg, p, x, eps=1e-5):
+    if cfg.use_scalenorm:
+        # ScaleNorm (embedder.py ScaleNorm): g * x / ||x||
+        n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+        return (x.astype(jnp.float32) / jnp.maximum(n, eps) * p["g"]).astype(
+            x.dtype
+        ) * (x.shape[-1] ** 0.5)
+    if cfg.use_rmsnorm:
+        return _rms_norm(p["scale"], x, eps)
+    return L.layer_norm(p, x)
 
 
 def init_transformer_text(key, cfg: TransformerTextConfig):
     rng = L.as_np_rng(key)
     d = cfg.hidden_size
+    h = cfg.num_heads
     params = {
         "token_embedding": jnp.asarray(rng.normal(size=(cfg.vocab_size, d)) * 0.02, jnp.float32),
         "position_embedding": jnp.asarray(rng.normal(size=(cfg.max_length, d)) * 0.01, jnp.float32),
         "layers": [],
-        "final_ln": L.init_layer_norm(d),
+        "final_ln": _init_norm(cfg, d),
     }
-    for _ in range(cfg.num_layers):
-        params["layers"].append(
-            {
-                "ln1": L.init_layer_norm(d),
-                "q": L.init_linear(rng, d, d, bias=False),
-                "k": L.init_linear(rng, d, d, bias=False),
-                "v": L.init_linear(rng, d, d, bias=False),
-                "out": L.init_linear(rng, d, d),
-                "ln2": L.init_layer_norm(d),
-                "fc1": L.init_linear(rng, d, d * cfg.mlp_ratio),
-                "fc2": L.init_linear(rng, d * cfg.mlp_ratio, d),
-            }
+    if cfg.rel_pos_bias:
+        params["rel_pos_embedding"] = jnp.asarray(
+            rng.normal(size=(cfg.rel_pos_num_buckets, h)) * 0.02, jnp.float32
         )
+    for _ in range(cfg.num_layers):
+        layer = {
+            "ln1": _init_norm(cfg, d),
+            "q": L.init_linear(rng, d, d, bias=False),
+            "k": L.init_linear(rng, d, d, bias=False),
+            "v": L.init_linear(rng, d, d, bias=False),
+            "out": L.init_linear(rng, d, d),
+            "ln2": _init_norm(cfg, d),
+            "fc1": L.init_linear(rng, d, d * cfg.mlp_ratio),
+            "fc2": L.init_linear(rng, d * cfg.mlp_ratio, d),
+        }
+        if cfg.talking_heads:
+            layer["pre_softmax_proj"] = jnp.asarray(
+                np.eye(h) + rng.normal(size=(h, h)) * 0.01, jnp.float32
+            )
+            layer["post_softmax_proj"] = jnp.asarray(
+                np.eye(h) + rng.normal(size=(h, h)) * 0.01, jnp.float32
+            )
+        params["layers"].append(layer)
     return params
 
 
@@ -249,8 +299,25 @@ def transformer_text_apply(cfg: TransformerTextConfig, params, tokens):
     x = params["token_embedding"][tokens].astype(dtype)
     x = x + params["position_embedding"][None, :s].astype(dtype)
     dh = cfg.hidden_size // cfg.num_heads
+
+    rel_bias = None
+    if cfg.rel_pos_bias:
+        pos = np.arange(s)
+        buckets = relative_position_bucket(
+            pos[None, :] - pos[:, None],
+            num_buckets=cfg.rel_pos_num_buckets,
+            max_distance=cfg.rel_pos_max_distance,
+            bidirectional=not cfg.causal,
+        )
+        # [s, s, h] -> [h, s, s]
+        rel_bias = params["rel_pos_embedding"][buckets].transpose(2, 0, 1)
+
+    causal_mask = None
+    if cfg.causal:
+        causal_mask = jnp.tril(jnp.ones((s, s), bool))
+
     for p in params["layers"]:
-        y = L.layer_norm(p["ln1"], x)
+        y = _apply_norm(cfg, p["ln1"], x)
 
         def split(z):
             return z.reshape(n, s, cfg.num_heads, dh).transpose(0, 2, 1, 3)
@@ -259,12 +326,24 @@ def transformer_text_apply(cfg: TransformerTextConfig, params, tokens):
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * (dh**-0.5)
-        w = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        if "pre_softmax_proj" in p:
+            # talking heads: mix attention logits across heads before
+            # softmax (embedder.py:226-231,307)
+            scores = jnp.einsum("bhqk,hg->bgqk", scores, p["pre_softmax_proj"])
+        if rel_bias is not None:
+            scores = scores + rel_bias[None]
+        if causal_mask is not None:
+            scores = jnp.where(causal_mask[None, None], scores, -1e9)
+        w = jax.nn.softmax(scores, axis=-1)
+        if "post_softmax_proj" in p:
+            # ...and the probabilities after (embedder.py:337)
+            w = jnp.einsum("bhqk,hg->bgqk", w, p["post_softmax_proj"])
+        w = w.astype(v.dtype)
         att = jnp.einsum("bhqk,bhkd->bhqd", w, v).transpose(0, 2, 1, 3).reshape(n, s, -1)
         x = x + L.linear(p["out"], att)
-        y = L.layer_norm(p["ln2"], x)
+        y = _apply_norm(cfg, p["ln2"], x)
         x = x + L.linear(p["fc2"], L.gelu(L.linear(p["fc1"], y)))
-    return L.layer_norm(params["final_ln"], x).astype(jnp.float32)
+    return _apply_norm(cfg, params["final_ln"], x).astype(jnp.float32)
 
 
 def clip_t5_encode(clip_fn, t5_fn, text_tokens_clip, text_tokens_t5):

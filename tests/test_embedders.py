@@ -80,3 +80,58 @@ class TestTransformerText:
             None, None,
         )
         assert outs[0].shape == (1, 3, 8) and outs[1].shape == (1, 4, 16)
+
+
+class TestAttentionLayersFlags:
+    """x-transformers AttentionLayers opt-in surface (embedder.py:196-617):
+    talking heads, rms/scale norm, causal mask, T5 relative-position bias."""
+
+    def _run(self, **flags):
+        from complex_prompt_diffusion_tpu.models.embedders import (
+            TransformerTextConfig,
+            init_transformer_text,
+            transformer_text_apply,
+        )
+
+        cfg = TransformerTextConfig.tiny(**flags)
+        params = init_transformer_text(jax.random.PRNGKey(0), cfg)
+        tokens = jnp.asarray([[1, 5, 9, 12, 700, 3, 2, 0]])
+        out = transformer_text_apply(cfg, params, tokens)
+        assert out.shape == (1, 8, 64)
+        assert np.isfinite(np.asarray(out)).all()
+        return cfg, params, tokens, out
+
+    def test_plain(self):
+        self._run()
+
+    def test_talking_heads_changes_output(self):
+        _, _, _, base = self._run()
+        _, _, _, th = self._run(talking_heads=True)
+        assert not np.allclose(np.asarray(base), np.asarray(th))
+
+    def test_rmsnorm_and_scalenorm(self):
+        self._run(use_rmsnorm=True)
+        self._run(use_scalenorm=True)
+
+    def test_rel_pos_bias_translation_structure(self):
+        """With a relative bias and no absolute embedding influence the
+        bias matrix depends only on (i - j); just smoke + shape here."""
+        self._run(rel_pos_bias=True)
+
+    def test_causal_masks_future(self):
+        from complex_prompt_diffusion_tpu.models.embedders import (
+            TransformerTextConfig,
+            init_transformer_text,
+            transformer_text_apply,
+        )
+
+        cfg = TransformerTextConfig.tiny(causal=True)
+        params = init_transformer_text(jax.random.PRNGKey(0), cfg)
+        t1 = jnp.asarray([[1, 5, 9, 12, 700, 3, 2, 0]])
+        t2 = t1.at[0, 6].set(999)  # change a LATE token
+        o1 = transformer_text_apply(cfg, params, t1)
+        o2 = transformer_text_apply(cfg, params, t2)
+        np.testing.assert_allclose(
+            np.asarray(o1[:, :6]), np.asarray(o2[:, :6]), atol=1e-5
+        )
+        assert not np.allclose(np.asarray(o1[:, 6]), np.asarray(o2[:, 6]))

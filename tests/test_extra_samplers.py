@@ -166,3 +166,74 @@ class TestIPNDM:
         img = np.zeros((32, 32, 3), np.uint8)
         with pytest.raises(ValueError, match="img2img is not supported"):
             img2img(b, img, "a cat", cfg=cfg)
+
+
+class TestHFunctions:
+    """Generic SVD-free operator family (reference blur.py:433-595)."""
+
+    def _op(self, d=8, c=3, sigma=0.7):
+        # sigma <= ~0.8 keeps the 8x8 conv matrix positive definite — the
+        # reference's V=U shortcut (blur.py:526) assumes PD; truncated wide
+        # gaussians have negative eigenvalues and the operator identity
+        # degrades exactly as in the reference
+        from complex_prompt_diffusion_tpu.samplers.blur import SVDDeblurring
+
+        return SVDDeblurring(gaussian_kernel_1d(5, sigma), c, d)
+
+    def test_orthogonal_roundtrips(self):
+        op = self._op()
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 3 * 8 * 8)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(op.V(op.Vt(x))), np.asarray(x), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.Ut(op.U(x))), np.asarray(x), atol=1e-4
+        )
+
+    def test_H_matches_direct_separable_blur(self):
+        """When the singular clamps are inactive, H() must equal the
+        separable blur H_small . img . H_small^T per channel."""
+        d, c = 8, 3
+        op = self._op(d, c, sigma=0.7)
+        s = np.asarray(op._sing)
+        assert s.max() <= 1.0 + 1e-6
+        kernel = gaussian_kernel_1d(5, 0.7)
+        H_small = np.zeros((d, d))
+        for i in range(d):
+            for j in range(i - 2, i + 3):
+                if 0 <= j < d:
+                    H_small[i, j] = kernel[j - i + 2]
+        rng = np.random.default_rng(1)
+        img = rng.normal(size=(2, c, d, d)).astype(np.float32)
+        want = np.einsum("hi,bcij,wj->bchw", H_small, img, H_small)
+        got = np.asarray(op.H(jnp.asarray(img.reshape(2, -1)))).reshape(
+            2, c, d, d
+        )
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_pinv_right_inverse(self):
+        op = self._op()
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(1, 3 * 8 * 8)).astype(np.float32))
+        y = op.H(x)
+        np.testing.assert_allclose(
+            np.asarray(op.H(op.H_pinv(y))), np.asarray(y), atol=1e-3
+        )
+
+    def test_Ht_is_H_for_symmetric_operator(self):
+        op = self._op()
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(1, 3 * 8 * 8)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(op.Ht(x)), np.asarray(op.H(x)), atol=1e-4
+        )
+
+    def test_denoising_identity(self):
+        from complex_prompt_diffusion_tpu.samplers.blur import Denoising
+
+        op = Denoising(3, 8)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(2, 3 * 8 * 8)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(op.H(x)), np.asarray(x), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(op.H_pinv(x)), np.asarray(x), atol=1e-6)
