@@ -342,6 +342,26 @@ def _cross_attention(p, x, context, heads: int, collector=None, use_pallas=None)
     ctx_k = _hyper(p["hyper_k"], ctx) if "hyper_k" in p else ctx
     ctx_v = _hyper(p["hyper_v"], ctx) if "hyper_v" in p else ctx
     if context is None and "hyper_k" not in p and "hyper_v" not in p:
+        s_len, c_dim = x.shape[1], x.shape[2]
+        # channel-major fused block: measured SLOWER end-to-end (61.8 vs
+        # 60.4 ms/step at the SD bench batch — the transposed in/out
+        # projections cost more than the relayouts they remove), so it is
+        # opt-in via use_pallas="cm"; kept as tested infrastructure
+        if use_pallas == "cm" and s_len > 128 and s_len % 128 == 0 and c_dim % 128 == 0:
+            # fully fused channel-major block: qkv projection writes the
+            # kernel's [3C, B, S] layout directly and the out-projection
+            # reads it back — no relayouts (ops/attention.py
+            # self_attention_cm)
+            from complex_prompt_diffusion_tpu.ops.attention import (
+                self_attention_cm,
+            )
+
+            return self_attention_cm(
+                x,
+                p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"],
+                p["to_out"]["kernel"], p["to_out"]["bias"],
+                heads,
+            )
         # self-attention: one fused [C, 3C] projection instead of three
         # [C, C] matmuls — one pass over x, wider MXU N-dim (the weight
         # concat is a trivial [C, 3C] copy vs the [B, S, C] activation)

@@ -178,6 +178,158 @@ def _onepass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, skv_pad):
     o_ref[0] = (o[:d] / o[d:]).astype(o_ref.dtype)
 
 
+def _onepass_kernel_hdbs(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """Channel-major variant of `_onepass_kernel`: operands are [H, D, B*S]
+    slices — the layout the qkv projection writes DIRECTLY as
+    dot_general(w, x) -> [3C, B, S], so no XLA relayout exists on either
+    side. The softmax denominator comes from an in-VMEM ones-row appended
+    to v (the HBM-side concat the bhds path pays is free here)."""
+    q = q_ref[0]  # [d, block_q]
+    k = k_ref[0]  # [d, S]
+    s = jax.lax.dot_general(
+        k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [S, block_q]
+    s = s * (scale * _LOG2E)
+    m = jnp.max(s, axis=0, keepdims=True)
+    p = jnp.exp2(s - m).astype(v_ref.dtype)
+    v = v_ref[0]  # [d, S]
+    v1 = jnp.concatenate(
+        [v, jnp.ones((1, v.shape[1]), v.dtype)], axis=0
+    )  # [d+1, S] in VMEM
+    o = jax.lax.dot_general(
+        v1, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [d+1, block_q]
+    d = o.shape[0] - 1
+    o_ref[0] = (o[:d] / o[d:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def _onepass_attention_hdbs(
+    q_t, k_t, v_t, *, scale: float, block_q: int, interpret: bool
+):
+    """Core one-pass call on channel-major operands [H, D, B, S].
+
+    B and S fold into one trailing axis (contiguous, free); query blocks
+    never straddle a batch boundary (block_q divides S), and the k/v row
+    for block i is batch i // (S/block_q)'s full row."""
+    h, d, b, sq = q_t.shape
+    kv_len = k_t.shape[3]
+    assert kv_len == sq and sq % 128 == 0 and sq % block_q == 0, (
+        "channel-major path requires self-attention with 128-aligned S"
+    )
+    q_t = q_t.reshape(h, d, b * sq)
+    k_t = k_t.reshape(h, d, b * sq)
+    v_t = v_t.reshape(h, d, b * sq)
+    blocks_per_batch = sq // block_q
+    grid = (h, (b * sq) // block_q)
+    out = pl.pallas_call(
+        functools.partial(_onepass_kernel_hdbs, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((h, d, b * sq), q_t.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda g, i: (g, 0, i)),
+            pl.BlockSpec(
+                (1, d, sq),
+                lambda g, i, _n=blocks_per_batch: (g, 0, i // _n),
+            ),
+            pl.BlockSpec(
+                (1, d, sq),
+                lambda g, i, _n=blocks_per_batch: (g, 0, i // _n),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda g, i: (g, 0, i)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q_t, k_t, v_t)
+    return out.reshape(h, d, b, sq)
+
+
+@functools.lru_cache(maxsize=64)
+def _self_attention_cm_diff(heads, scale, block_q, interpret):
+    """Fused self-attention block from the [B, S, C] residual stream:
+    qkv projection emits channel-major [3C, B, S] directly (the layout the
+    kernel consumes), and the out-projection contracts the channel-major
+    result back to [B, S, C] — the two 20 MB XLA relayouts per site of the
+    bhds path never exist. Pallas forward, XLA-recompute backward."""
+
+    def _fwd(x, wq, wk, wv, wo, bo):
+        b, s, c = x.shape
+        d = c // heads
+        wq, wk, wv, wo = (
+            z.astype(x.dtype) for z in (wq, wk, wv, wo)
+        )
+        w = jnp.concatenate([wq, wk, wv], axis=1)  # [C, 3C]
+        qkv = jax.lax.dot_general(
+            w, x, (((0,), (2,)), ((), ()))
+        )  # [3C, B, S]
+        qkv = qkv.reshape(3, heads, d, b, s)
+        out = _onepass_attention_hdbs(
+            qkv[0], qkv[1], qkv[2],
+            scale=scale, block_q=block_q, interpret=interpret,
+        )  # [H, D, B, S]
+        out = out.reshape(c, b, s)
+        y = jax.lax.dot_general(
+            out, wo, (((0,), (0,)), ((), ()))
+        )  # [B, S, C]
+        return y + bo.astype(y.dtype)
+
+    def _ref(x, wq, wk, wv, wo, bo):
+        b, s, c = x.shape
+        d = c // heads
+        wq, wk, wv, wo = (
+            z.astype(x.dtype) for z in (wq, wk, wv, wo)
+        )
+
+        def split(z):
+            return z.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+
+        q = split(jnp.dot(x, wq))
+        k = split(jnp.dot(x, wk))
+        v = split(jnp.dot(x, wv))
+        o = _xla_attention(q, k, v, scale)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, c)
+        return jnp.dot(o, wo) + bo.astype(o.dtype)
+
+    @jax.custom_vjp
+    def fn(x, wq, wk, wv, wo, bo):
+        return _fwd(x, wq, wk, wv, wo, bo)
+
+    def fwd(*args):
+        return fn(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(_ref, *res)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def self_attention_cm(
+    x, wq, wk, wv, wo, bo, num_heads: int,
+    scale: Optional[float] = None,
+    *,
+    interpret: bool = False,
+):
+    """Self-attention block on the [B, S, C] stream with channel-major
+    internals (see `_self_attention_cm_diff`). TPU SD-scale only — callers
+    fall back to the split-path `attention()` elsewhere."""
+    c = x.shape[-1]
+    s = x.shape[1]
+    d = c // num_heads
+    if scale is None:
+        scale = d**-0.5
+    bq = min(_onepass_block_q(s, s), s)
+    while s % bq:
+        bq //= 2
+    return _self_attention_cm_diff(num_heads, scale, bq, interpret)(
+        x, wq, wk, wv, wo, bo
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "interpret")
 )
@@ -219,11 +371,13 @@ def _onepass_attention_bhds(
 
 def _onepass_block_q(sq: int, kv_len: int) -> int:
     """Largest 128-multiple query block whose [Skv, bq] f32 score block plus
-    bf16 probability block stays within ~48 MB of VMEM, capped at 1024."""
+    bf16 probability block stays within ~48 MB of VMEM, capped at 2048
+    (bench sweep at the SD batch: 512 -> 62.6 ms/step, 1024 -> 60.9,
+    2048 -> 60.4, 4096 -> 60.5)."""
     skv_pad = _round_up(kv_len, 128)
     budget = 48 * 1024 * 1024
     bq = budget // (6 * skv_pad)
-    bq = max(128, min(1024, bq // 128 * 128))
+    bq = max(128, min(2048, bq // 128 * 128))
     return min(bq, _round_up(sq, 128))
 
 

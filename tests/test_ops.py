@@ -260,3 +260,62 @@ class TestGegluFF:
         g1 = jax.grad(lambda a: jnp.sum(geglu_ff(a, w1, b1, w2, b2, use_pallas=True, interpret=True) ** 2))(x)
         g2 = jax.grad(lambda a: jnp.sum(_ff_xla(a, w1, b1, w2, b2) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4, rtol=2e-4)
+
+
+class TestChannelMajorSelfAttention:
+    """Fused channel-major self-attention block (ops/attention.py
+    self_attention_cm) — opt-in path; exactness vs the split-head
+    reference."""
+
+    def test_matches_reference(self):
+        import importlib
+
+        A = importlib.import_module(
+            "complex_prompt_diffusion_tpu.ops.attention"
+        )
+        import sys
+
+        A = sys.modules["complex_prompt_diffusion_tpu.ops.attention"]
+        rng = np.random.default_rng(0)
+        b, s, c, h = 2, 256, 128, 2
+        d = c // h
+        x = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+        wq, wk, wv, wo = (
+            jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * c**-0.5)
+            for _ in range(4)
+        )
+        bo = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+        got = A.self_attention_cm(x, wq, wk, wv, wo, bo, h, interpret=True)
+
+        def split(z):
+            return z.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+        o = A._xla_attention(
+            split(x @ wq), split(x @ wk), split(x @ wv), d**-0.5
+        )
+        ref = o.transpose(0, 2, 1, 3).reshape(b, s, c) @ wo + bo
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-3
+        )
+
+    def test_gradients_flow(self):
+        import sys
+
+        import complex_prompt_diffusion_tpu.ops.attention  # noqa: F401
+
+        A = sys.modules["complex_prompt_diffusion_tpu.ops.attention"]
+        rng = np.random.default_rng(1)
+        b, s, c, h = 1, 256, 128, 2
+        x = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+        ws = [
+            jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * c**-0.5)
+            for _ in range(4)
+        ]
+        bo = jnp.zeros((c,), jnp.float32)
+        g = jax.grad(
+            lambda a: jnp.sum(
+                A.self_attention_cm(a, *ws, bo, h, interpret=True) ** 2
+            )
+        )(x)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
