@@ -15,6 +15,13 @@ import jax
 import jax.numpy as jnp
 
 from complex_prompt_diffusion_tpu.ops import group_norm, group_norm_silu
+from complex_prompt_diffusion_tpu.ops.conv import conv3x3, conv3x3_supported
+
+
+def _pallas_conv_enabled() -> bool:
+    import os
+
+    return os.environ.get("CPD_TPU_PALLAS_CONV", "0") == "1"
 
 __all__ = [
     "init_conv",
@@ -76,9 +83,21 @@ def init_conv(key, in_ch: int, out_ch: int, kernel: int = 3, zero: bool = False)
 def conv2d(params, x, stride: int = 1, padding=None):
     """Conv with torch-style symmetric padding. Default pad = (k-1)//2, which
     reproduces torch Conv2d(padding=k//2) for odd k at any stride — explicit
-    padding, NOT XLA "SAME" (which misaligns at stride 2)."""
+    padding, NOT XLA "SAME" (which misaligns at stride 2).
+
+    Opt-in (CPD_TPU_PALLAS_CONV=1): route stride-1 3x3 'same' convs to the
+    Pallas shifted-matmul kernel (ops/conv.py). Measured SLOWER than XLA's
+    conv at the SD level shapes (scripts/perf_conv3.py: 0.72-0.93x — XLA's
+    conv already runs at 59-73% SOL at the bench batch), so XLA is the
+    default; the kernel is kept as tested infrastructure."""
     dtype = x.dtype
     k = params["kernel"].shape[0]
+    if (
+        _pallas_conv_enabled()
+        and jax.default_backend() == "tpu"
+        and conv3x3_supported(x.shape, params["kernel"].shape, stride, padding)
+    ):
+        return conv3x3(x, params["kernel"], params["bias"])
     if padding is None:
         padding = (k - 1) // 2
     if isinstance(padding, int):

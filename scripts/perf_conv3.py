@@ -1,0 +1,58 @@
+"""Pallas conv3x3 (ops/conv.py shifted-matmul kernel) vs XLA conv at the
+SD-1.5 UNet level shapes, bench batch (B=8 per CFG call), NHWC bf16."""
+import time
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpd")
+from complex_prompt_diffusion_tpu.ops.conv import conv3x3
+
+PEAK = 197e12
+REPS = 30
+ITERS = 10
+
+def timeit(fn, *args):
+    out = fn(*args)
+    float(jnp.float32(out.mean()))
+    args = tuple(a * 1.0001 for a in args)
+    t0 = time.perf_counter()
+    float(jnp.float32(fn(*args).mean()))
+    return (time.perf_counter() - t0) / (ITERS * REPS)
+
+def case(b, h, w, cin, cout):
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, cin), jnp.bfloat16)
+    wgt = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout), jnp.bfloat16) * 0.02
+    bias = jnp.zeros((cout,), jnp.float32)
+    fl = 2 * b * h * w * 9 * cin * cout
+
+    @jax.jit
+    def run_pallas(x, wgt):
+        def body(i, acc):
+            def step(j, a):
+                y = conv3x3(a, wgt, bias)
+                return y * 0.01 if cin == cout else a * 0.999
+            return jax.lax.fori_loop(0, REPS, step, acc)
+        return jax.lax.fori_loop(0, ITERS, body, x)
+
+    @jax.jit
+    def run_xla(x, wgt):
+        def body(i, acc):
+            def step(j, a):
+                y = jax.lax.conv_general_dilated(
+                    a, wgt, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.bfloat16) + bias.astype(jnp.bfloat16)
+                return y * 0.01 if cin == cout else a * 0.999
+            return jax.lax.fori_loop(0, REPS, step, acc)
+        return jax.lax.fori_loop(0, ITERS, body, x)
+
+    if cin == cout:
+        dt_p = timeit(run_pallas, x, wgt)
+        dt_x = timeit(run_xla, x, wgt)
+        print(f"{h}x{w}x{cin}->{cout} B{b}: pallas {dt_p*1e3:6.3f} ms {fl/dt_p/PEAK*100:5.1f}% | "
+              f"xla {dt_x*1e3:6.3f} ms {fl/dt_x/PEAK*100:5.1f}% | speedup {dt_x/dt_p:5.2f}x",
+              flush=True)
+
+B = 8
+case(B, 64, 64, 320, 320)
+case(B, 32, 32, 640, 640)
+case(B, 16, 16, 1280, 1280)
+case(B, 8, 8, 1280, 1280)

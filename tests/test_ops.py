@@ -319,3 +319,48 @@ class TestChannelMajorSelfAttention:
         )(x)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
+
+
+class TestConv3x3:
+    """ops/conv.py shifted-matmul conv vs XLA conv (interpret mode)."""
+
+    @pytest.mark.parametrize(
+        "b,h,w,ci,co",
+        [
+            (2, 16, 16, 32, 48),  # co chunking trivial, one h-block
+            (1, 8, 8, 16, 16),    # smallest level shape
+            (2, 32, 8, 24, 8),    # multi h-block, narrow W
+        ],
+    )
+    def test_matches_xla(self, b, h, w, ci, co):
+        from complex_prompt_diffusion_tpu.ops.conv import _xla_conv, conv3x3
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((b, h, w, ci)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+        out = conv3x3(x, k, bias, True)
+        ref = _xla_conv(x, k, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_gradient_matches_xla(self):
+        from complex_prompt_diffusion_tpu.ops.conv import _xla_conv, conv3x3
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.05, jnp.float32)
+        bias = jnp.zeros((16,), jnp.float32)
+        g = jax.grad(lambda a: jnp.sum(conv3x3(a, k, bias, True) ** 2))(x)
+        gr = jax.grad(lambda a: jnp.sum(_xla_conv(a, k, bias) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-4)
+
+    def test_supported_guard(self):
+        from complex_prompt_diffusion_tpu.ops.conv import conv3x3_supported
+
+        assert conv3x3_supported((8, 64, 64, 320), (3, 3, 320, 320), 1, None)
+        # stride-2 downsample, 1x1 conv, non-multiple-of-8 W: all fall back
+        assert not conv3x3_supported((8, 64, 64, 320), (3, 3, 320, 320), 2, None)
+        assert not conv3x3_supported((8, 64, 64, 320), (1, 1, 320, 320), 1, 0)
+        assert not conv3x3_supported((8, 64, 66, 320), (3, 3, 320, 320), 1, None)
+        # VAE-decode-scale activations exceed the VMEM budget: fall back
+        assert not conv3x3_supported((1, 512, 512, 128), (3, 3, 128, 128), 1, None)
