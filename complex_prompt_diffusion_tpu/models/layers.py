@@ -18,10 +18,19 @@ from complex_prompt_diffusion_tpu.ops import group_norm, group_norm_silu
 from complex_prompt_diffusion_tpu.ops.conv import conv3x3, conv3x3_supported
 
 
-def _pallas_conv_enabled() -> bool:
-    import os
+# Opt-in Pallas conv flag, read ONCE at import time: conv2d dispatch happens
+# at trace time inside jitted model functions and the jit cache is keyed only
+# on shapes, so a per-call env read would silently go stale after the first
+# trace. Import-time capture makes the semantics explicit: set the env var
+# before importing the package (tests that need both paths reload or call
+# ops.conv.conv3x3 directly).
+import os as _os
 
-    return os.environ.get("CPD_TPU_PALLAS_CONV", "0") == "1"
+_PALLAS_CONV = _os.environ.get("CPD_TPU_PALLAS_CONV", "0") == "1"
+
+
+def _pallas_conv_enabled() -> bool:
+    return _PALLAS_CONV
 
 __all__ = [
     "init_conv",
@@ -95,7 +104,10 @@ def conv2d(params, x, stride: int = 1, padding=None):
     if (
         _pallas_conv_enabled()
         and jax.default_backend() == "tpu"
-        and conv3x3_supported(x.shape, params["kernel"].shape, stride, padding)
+        and conv3x3_supported(
+            x.shape, params["kernel"].shape, stride, padding,
+            jnp.dtype(dtype).itemsize,
+        )
     ):
         return conv3x3(x, params["kernel"], params["bias"])
     if padding is None:

@@ -66,8 +66,14 @@ def _kernel(xp_ref, k_ref, b_ref, o_ref, *, H, W, C, Hb, co):
         )
 
 
-def conv3x3_supported(x_shape, k_shape, stride: int, padding) -> bool:
-    """Dispatch guard: stride-1 3x3 'same' convs on flattenable planes."""
+def conv3x3_supported(
+    x_shape, k_shape, stride: int, padding, itemsize: int = 2
+) -> bool:
+    """Dispatch guard: stride-1 3x3 'same' convs on flattenable planes.
+
+    ``itemsize`` is the activation dtype's byte width (2 for bf16 — the SD
+    inference path; pass 4 for f32 activations so the VMEM budget is real).
+    """
     if stride != 1 or padding not in (None, 1):
         return False
     if len(k_shape) != 4 or k_shape[0] != 3 or k_shape[1] != 3:
@@ -77,26 +83,31 @@ def conv3x3_supported(x_shape, k_shape, stride: int, padding) -> bool:
         return False
     # VMEM budget: padded input + one f32 acc block + weights chunk
     co_full = k_shape[3]
-    xp_bytes = (h + 4) * w * c * 2
+    xp_bytes = (h + 4) * w * c * itemsize
     if xp_bytes > 8 * 1024 * 1024:
         return False
-    hb, co = _pick_blocks(h, w, c, co_full)
-    chunk_bytes = 9 * c * co * 2 + hb * w * co * 4
+    picked = _pick_blocks(h, w, c, co_full, itemsize)
+    if picked is None:
+        return False
+    hb, co = picked
+    chunk_bytes = 9 * c * co * itemsize + hb * w * co * 4
     if xp_bytes + chunk_bytes > 14 * 1024 * 1024:
         return False
     return True
 
 
-def _pick_blocks(H: int, W: int, C: int, Co: int):
+def _pick_blocks(H: int, W: int, C: int, Co: int, itemsize: int = 2):
+    """(Hb, co) block sizes, or None when no co chunk fits the VMEM budget
+    (callers fall back to the XLA conv)."""
     # h-block: target M = Hb*W near 1024 rows
     Hb = max(1, min(H, 1024 // W))
     while H % Hb != 0:
         Hb -= 1
-    # co chunk: bound weights (9*C*co*2) + acc (Hb*W*co*4) to ~6 MB.
+    # co chunk: bound weights (9*C*co*itemsize) + acc (Hb*W*co*4) to ~6 MB.
     # Mosaic requires the blocked last dim to be a multiple of 128 (or the
     # full extent), so candidates are 128-multiples dividing Co, else full.
     def fits(co):
-        return (9 * C * co * 2 + Hb * W * co * 4) <= 6 * 1024 * 1024
+        return (9 * C * co * itemsize + Hb * W * co * 4) <= 6 * 1024 * 1024
 
     candidates = [Co] + [
         c for c in (640, 512, 384, 256, 128)
@@ -105,14 +116,19 @@ def _pick_blocks(H: int, W: int, C: int, Co: int):
     for co in candidates:
         if fits(co):
             return Hb, co
-    return Hb, candidates[-1]
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _conv3x3_fwd(x, kernel, bias, *, interpret=False):
     B, H, W, C = x.shape
     Co = kernel.shape[3]
-    Hb, co = _pick_blocks(H, W, C, Co)
+    picked = _pick_blocks(H, W, C, Co, jnp.dtype(x.dtype).itemsize)
+    if picked is None:
+        # no co chunk fits the VMEM budget — direct callers (bypassing
+        # conv3x3_supported) get the XLA conv instead of a VMEM failure
+        return _xla_conv(x, kernel, bias)
+    Hb, co = picked
     xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (0, 0)))
     kern = kernel.astype(x.dtype)
     out = pl.pallas_call(

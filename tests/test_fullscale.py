@@ -24,9 +24,14 @@ from complex_prompt_diffusion_tpu.models import params as P
 
 import _oracle
 
-pytestmark = pytest.mark.skipif(
-    _oracle.setup() is None, reason="reference oracle unavailable"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        _oracle.setup() is None, reason="reference oracle unavailable"
+    ),
+    # synthesized full-scale SD-1.5 checkpoint round-trips: tens of minutes
+    # of CPU compile+run — the heavy tier (see pyproject [tool.pytest])
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")

@@ -75,6 +75,7 @@ class TestMultichip:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "data-parallel render ok" in r.stdout
 
+    @pytest.mark.slow  # full SD-1.5 compile in a subprocess (minutes)
     def test_entry_compiles(self):
         r = _run(
             """

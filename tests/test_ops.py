@@ -344,15 +344,55 @@ class TestConv3x3:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
     def test_gradient_matches_xla(self):
+        # the custom VJP returns cotangents for x, kernel AND bias — check
+        # all three against the XLA conv reference
         from complex_prompt_diffusion_tpu.ops.conv import _xla_conv, conv3x3
 
         rng = np.random.default_rng(1)
         x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.float32)
         k = jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.05, jnp.float32)
-        bias = jnp.zeros((16,), jnp.float32)
-        g = jax.grad(lambda a: jnp.sum(conv3x3(a, k, bias, True) ** 2))(x)
-        gr = jax.grad(lambda a: jnp.sum(_xla_conv(a, k, bias) ** 2))(x)
-        np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-4)
+        bias = jnp.asarray(rng.standard_normal((16,)) * 0.1, jnp.float32)
+        g = jax.grad(
+            lambda a, kk, bb: jnp.sum(conv3x3(a, kk, bb, True) ** 2),
+            argnums=(0, 1, 2),
+        )(x, k, bias)
+        gr = jax.grad(
+            lambda a, kk, bb: jnp.sum(_xla_conv(a, kk, bb) ** 2),
+            argnums=(0, 1, 2),
+        )(x, k, bias)
+        for got, ref in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+    def test_no_fitting_chunk_falls_back(self):
+        # shapes where no co chunk fits the VMEM budget: _pick_blocks returns
+        # None, the guard rejects, and a direct conv3x3 call still computes
+        # the right thing via the XLA fallback
+        from complex_prompt_diffusion_tpu.ops import conv as C
+
+        # Co has no 128-multiple divisor, so the only candidate chunk is the
+        # full Co — and at C=4096 the 9*C*Co weight block alone (>14 MB)
+        # exceeds the 6 MB budget
+        assert C._pick_blocks(8, 8, 4096, 200) is None
+        assert not C.conv3x3_supported((1, 8, 8, 4096), (3, 3, 4096, 200), 1, None)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 4096)), jnp.float32)
+        k = jnp.asarray(
+            rng.standard_normal((3, 3, 4096, 200)) * 0.01, jnp.float32
+        )
+        bias = jnp.zeros((200,), jnp.float32)
+        out = C.conv3x3(x, k, bias, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(C._xla_conv(x, k, bias)), atol=1e-4
+        )
+
+    def test_itemsize_in_budget(self):
+        # f32 activations double the VMEM estimate: a shape that fits at
+        # bf16 must be rejected at itemsize=4 when it crosses the budget
+        from complex_prompt_diffusion_tpu.ops.conv import conv3x3_supported
+
+        shape, k = (1, 96, 96, 256), (3, 3, 256, 256)
+        assert conv3x3_supported(shape, k, 1, None, itemsize=2)
+        assert not conv3x3_supported(shape, k, 1, None, itemsize=4)
 
     def test_supported_guard(self):
         from complex_prompt_diffusion_tpu.ops.conv import conv3x3_supported
