@@ -36,6 +36,8 @@ __all__ = [
     "DepthEstimator",
     "SobelDepthEstimator",
     "TorchHubMidasEstimator",
+    "AdaBinsEstimator",
+    "LeResEstimator",
     "DepthManager",
     "create_depth_mask",
     "build_depth_mask",
@@ -119,6 +121,97 @@ class TorchHubMidasEstimator:
             ).squeeze()
         depth = pred.cpu().numpy()
         return ((50.0 - depth) / 19.0).astype(np.float32)
+
+
+class AdaBinsEstimator:
+    """AdaBins monocular depth adapter (reference depth.py:74-76 load,
+    :85-125 apply_adabins). Weights-gated like MiDaS: pass a loaded AdaBins
+    ``InferenceHelper``-style model (anything with
+    ``predict_pil(pil_image) -> (bin_centers, depth)``), or leave ``model``
+    None to import ``infer.InferenceHelper`` from an AdaBins checkout on
+    sys.path.
+
+    Reproduces the reference's resize contract: images above
+    MAX_ADABINS_AREA (500000 px) are downscaled, below MIN_ADABINS_AREA
+    (448^2) upscaled, prediction bicubic-resized back to the source size
+    (depth.py:92-117)."""
+
+    MAX_AREA = 500_000
+    MIN_AREA = 448 * 448
+
+    def __init__(self, model=None, dataset: str = "nyu"):
+        if model is None:
+            from infer import InferenceHelper  # the AdaBins repo module
+
+            model = InferenceHelper(dataset=dataset, device="cpu")
+        self.model = model
+
+    def estimate(self, img: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            scale = 255.0 if img.max() <= 2.0 else 1.0
+            img = np.clip(img * scale, 0, 255).astype(np.uint8)
+        h, w = img.shape[:2]
+        area = h * w
+        pil = Image.fromarray(img)
+        if area > self.MAX_AREA:
+            s = (self.MAX_AREA / area) ** 0.5
+            pil = pil.resize((int(w * s), int(h * s)), Image.LANCZOS)
+        elif area < self.MIN_AREA:
+            s = (self.MIN_AREA / area) ** 0.5
+            pil = pil.resize((int(w * s), int(h * s)), Image.BICUBIC)
+        _, depth = self.model.predict_pil(pil)
+        depth = np.asarray(depth, np.float32)
+        depth = depth.reshape(depth.shape[-2], depth.shape[-1])
+        if depth.shape != (h, w):
+            depth = _resize(depth, (h, w))
+        return depth.astype(np.float32)
+
+
+class LeResEstimator:
+    """LeReS relative-depth adapter (reference depth.py:77-83 load,
+    :160-178 apply_leres). Pass a loaded model exposing
+    ``inference(img_chw_tensor) -> depth`` (the LeReS ``RelDepthModel``
+    interface), or leave ``model`` None to import it from a LeReS checkout
+    on sys.path (weights-gated; no downloads here).
+
+    Contract preserved: input resized to 448x448, ImageNet-normalized
+    CHW tensor, prediction resized back to the source resolution."""
+
+    IMAGENET_MEAN = (0.485, 0.456, 0.406)
+    IMAGENET_STD = (0.229, 0.224, 0.225)
+
+    def __init__(self, model=None, backbone: str = "resnext101"):
+        if model is None:
+            from lib.multi_depth_model_woauxi import RelDepthModel
+
+            model = RelDepthModel(backbone=backbone)
+            model.eval()
+        self.model = model
+
+    def estimate(self, img: np.ndarray) -> np.ndarray:
+        import torch
+
+        img = np.asarray(img, np.float32)
+        if img.max() > 2.0:
+            img = img / 255.0
+        h, w = img.shape[:2]
+        small = _resize(img, (448, 448, img.shape[-1]))
+        mean = np.asarray(self.IMAGENET_MEAN, np.float32)
+        std = np.asarray(self.IMAGENET_STD, np.float32)
+        small = (small - mean) / std
+        chw = torch.from_numpy(
+            np.ascontiguousarray(small.transpose(2, 0, 1), )
+        ).float()[None]
+        with torch.no_grad():
+            pred = self.model.inference(chw)
+        depth = np.asarray(pred.detach().cpu().numpy(), np.float32)
+        depth = depth.reshape(depth.shape[-2], depth.shape[-1])
+        if depth.shape != (h, w):
+            depth = _resize(depth, (h, w))
+        return depth.astype(np.float32)
 
 
 def rescale(x):

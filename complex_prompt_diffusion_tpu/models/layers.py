@@ -164,12 +164,16 @@ def layer_norm(params, x, eps: float = 1e-5):
     return (y * params["scale"] + params["bias"]).astype(dtype)
 
 
-def group_norm_p(params, x, num_groups: int = 32, eps: float = 1e-5):
-    return group_norm(x, params["scale"], params["bias"], num_groups, eps)
+def group_norm_p(params, x, num_groups: int = 32, eps: float = 1e-5, use_pallas=None):
+    return group_norm(
+        x, params["scale"], params["bias"], num_groups, eps, use_pallas
+    )
 
 
-def group_norm_silu_p(params, x, num_groups: int = 32, eps: float = 1e-5):
-    return group_norm_silu(x, params["scale"], params["bias"], num_groups, eps)
+def group_norm_silu_p(params, x, num_groups: int = 32, eps: float = 1e-5, use_pallas=None):
+    return group_norm_silu(
+        x, params["scale"], params["bias"], num_groups, eps, use_pallas
+    )
 
 
 def timestep_embedding(timesteps, dim: int, max_period: float = 10000.0):

@@ -306,7 +306,7 @@ def init_unet(key, cfg: UNetConfig):
 
 def _apply_res(p, cfg: UNetConfig, h, emb, mode: str):
     x = h
-    hh = L.group_norm_silu_p(p["in_norm"], h)
+    hh = L.group_norm_silu_p(p["in_norm"], h, use_pallas=cfg.use_pallas)
     if mode == "up":
         hh = L.upsample_nearest2x(hh)
         x = L.upsample_nearest2x(x)
@@ -317,11 +317,13 @@ def _apply_res(p, cfg: UNetConfig, h, emb, mode: str):
     emb_out = L.linear(p["emb"], L.silu(emb))[:, None, None, :]
     if cfg.use_scale_shift_norm:
         scale, shift = jnp.split(emb_out, 2, axis=-1)
-        hh = L.group_norm_p(p["out_norm"], hh) * (1 + scale) + shift
+        hh = L.group_norm_p(p["out_norm"], hh, use_pallas=cfg.use_pallas) * (
+            1 + scale
+        ) + shift
         hh = L.silu(hh)
     else:
         hh = hh + emb_out
-        hh = L.group_norm_silu_p(p["out_norm"], hh)
+        hh = L.group_norm_silu_p(p["out_norm"], hh, use_pallas=cfg.use_pallas)
     hh = L.conv2d(p["out_conv"], hh)
     if "skip" in p:
         x = L.conv2d(p["skip"], x)
@@ -409,7 +411,7 @@ def _cross_attention(p, x, context, heads: int, collector=None, use_pallas=None)
 def _apply_attn(p, cfg: UNetConfig, h, context, heads, dim_head, collector=None):
     n, hh_, ww_, c = h.shape
     inner = heads * dim_head
-    x = L.group_norm_p(p["norm"], h, eps=1e-6)
+    x = L.group_norm_p(p["norm"], h, eps=1e-6, use_pallas=cfg.use_pallas)
     if cfg.use_linear_in_transformer:
         x = x.reshape(n, hh_ * ww_, c)
         x = L.linear(p["proj_in"], x)
@@ -533,7 +535,9 @@ def unet_apply(
         if return_feats:
             feats_out.append(h)
 
-    h = L.group_norm_silu_p(params["out"]["norm"], h)
+    h = L.group_norm_silu_p(
+        params["out"]["norm"], h, use_pallas=cfg.use_pallas
+    )
     out = L.conv2d(params["out"]["conv"], h).astype(jnp.float32)
 
     extras = []

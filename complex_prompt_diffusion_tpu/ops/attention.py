@@ -580,23 +580,77 @@ def flash_attention(
     return _pallas_attention_diff(scale, block_q, block_k, interpret)(q, k, v)
 
 
+def _sharded_attention(q, k, v, num_heads: int, scale: float, ctx):
+    """Mesh-partitioned attention: shard_map over (batch -> data axis,
+    heads -> model axis) so each device runs the Pallas kernel on its local
+    (B/dp, H/tp) slab — batch and heads are embarrassingly parallel in the
+    kernel grid. The row-parallel to_out psum outside stays GSPMD's job.
+
+    Falls back per-dimension: an axis that does not divide the dim is left
+    unsharded (GSPMD replicates along it at the shard_map boundary), and
+    short-KV cross-attention keeps the XLA fused-softmax path, which GSPMD
+    partitions cleanly through the sharded head projections."""
+    from complex_prompt_diffusion_tpu.ops.sharding import axis_if_divisible
+
+    b, sq, inner = q.shape
+    kv = k.shape[1]
+    d = inner // num_heads
+    if kv <= 128 and not ctx.interpret:
+        return attention(q, k, v, num_heads, scale, use_pallas=False)
+    data = axis_if_divisible(ctx, ctx.data_axis, b)
+    model = axis_if_divisible(ctx, ctx.model_axis, num_heads)
+    if data is None and model is None:
+        return attention(
+            q, k, v, num_heads, scale,
+            use_pallas=ctx.local_use_pallas(),
+        )
+
+    def split(x):
+        return x.reshape(b, x.shape[1], num_heads, d).transpose(0, 2, 1, 3)
+
+    spec = jax.sharding.PartitionSpec(data, model, None, None)
+    local = functools.partial(
+        flash_attention,
+        scale=scale,
+        use_pallas=ctx.local_use_pallas(),
+        interpret=ctx.interpret,
+    )
+    out = jax.shard_map(
+        local,
+        mesh=ctx.mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )(split(q), split(k), split(v))
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     num_heads: int,
     scale: Optional[float] = None,
-    use_pallas: Optional[bool] = None,
+    use_pallas=None,
 ) -> jax.Array:
     """Attention over [B, S, H*D] tensors (the SpatialTransformer layout,
     reference attention.py:280-348). Splits heads, runs flash attention,
     re-merges. When the one-pass kernel applies, uses a direct
-    merged-layout path that skips the intermediate [B,H,S,D] relayout."""
+    merged-layout path that skips the intermediate [B,H,S,D] relayout.
+
+    ``use_pallas`` may be a :class:`ops.sharding.ShardCtx`: the kernel is
+    then wrapped in shard_map over the mesh (batch over the data axis,
+    heads over the model axis) so tensor/data parallelism composes with the
+    Pallas path instead of falling back to XLA."""
     b, sq, inner = q.shape
     kv = k.shape[1]
     d = inner // num_heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    from complex_prompt_diffusion_tpu.ops.sharding import ShardCtx
+
+    if isinstance(use_pallas, ShardCtx):
+        return _sharded_attention(q, k, v, num_heads, scale, use_pallas)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and 128 < kv <= _ONEPASS_MAX_KV:

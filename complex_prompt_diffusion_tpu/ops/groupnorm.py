@@ -132,9 +132,42 @@ def _gn_pallas_diff(num_groups, eps, silu, interpret):
     return fn
 
 
+def _sharded_dispatch(x, gamma, beta, num_groups, eps, silu, ctx):
+    """Mesh-partitioned GroupNorm: statistics are per-sample, so the batch
+    dim is embarrassingly parallel — shard_map over the data axis keeps the
+    Pallas kernel local instead of letting GSPMD replicate it (see
+    ops/sharding.py). Channels stay whole on every device (group stats
+    need the full channel extent)."""
+    from jax.sharding import PartitionSpec as P
+
+    from complex_prompt_diffusion_tpu.ops.sharding import axis_if_divisible
+
+    data = axis_if_divisible(ctx, ctx.data_axis, x.shape[0])
+    local_up = ctx.local_use_pallas()
+    if data is None:
+        return _dispatch(
+            x, gamma, beta, num_groups, eps, silu, local_up, ctx.interpret
+        )
+    spec = P(data, None, None, None)
+    rep = P(None)
+    return jax.shard_map(
+        lambda xx, g, b: _dispatch(
+            xx, g, b, num_groups, eps, silu, local_up, ctx.interpret
+        ),
+        mesh=ctx.mesh,
+        in_specs=(spec, rep, rep),
+        out_specs=spec,
+        check_vma=False,
+    )(x, gamma, beta)
+
+
 def _dispatch(x, gamma, beta, num_groups, eps, silu, use_pallas, interpret=False):
     if x.shape[-1] % num_groups != 0:
         raise ValueError(f"channels {x.shape[-1]} not divisible by {num_groups} groups")
+    from complex_prompt_diffusion_tpu.ops.sharding import ShardCtx
+
+    if isinstance(use_pallas, ShardCtx):
+        return _sharded_dispatch(x, gamma, beta, num_groups, eps, silu, use_pallas)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n, h, w, c = x.shape

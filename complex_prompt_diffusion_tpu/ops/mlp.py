@@ -146,6 +146,32 @@ def geglu_ff(x, w1, b1, w2, b2, *, use_pallas=None, interpret: bool = False):
     """
     c = x.shape[-1]
     h4 = w2.shape[0]
+    from complex_prompt_diffusion_tpu.ops.sharding import ShardCtx, axis_if_divisible
+
+    if isinstance(use_pallas, ShardCtx):
+        ctx = use_pallas
+        data = axis_if_divisible(ctx, ctx.data_axis, x.shape[0])
+        if data is None:
+            # model-axis-only mesh: the GEGLU value/gate pairing does not
+            # align with contiguous column shards of the fused [C, 8C']
+            # kernel, so let GSPMD partition the XLA path megatron-style
+            # through the sharded weights
+            return _ff_xla(x, w1.astype(x.dtype), b1.astype(x.dtype),
+                           w2.astype(x.dtype), b2.astype(x.dtype))
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(*((data,) + (None,) * (x.ndim - 1)))
+        rep2, rep1 = P(None, None), P(None)
+        return jax.shard_map(
+            lambda xx, a1, c1, a2, c2: geglu_ff(
+                xx, a1, c1, a2, c2,
+                use_pallas=ctx.local_use_pallas(), interpret=ctx.interpret,
+            ),
+            mesh=ctx.mesh,
+            in_specs=(spec, rep2, rep1, rep2, rep1),
+            out_specs=spec,
+            check_vma=False,
+        )(x, w1, b1, w2, b2)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     # kernel wants lane-aligned chunk splits and a VMEM-sized weight slice

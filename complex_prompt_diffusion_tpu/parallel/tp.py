@@ -15,9 +15,15 @@ Sharding rules (the classic attention/MLP pair pattern):
     are HBM-bound at inference batch sizes and the GroupNorm group stats
     stay local this way.
 
-Pallas note: the custom flash-attention/GroupNorm kernels do not carry SPMD
-partitioning rules yet, so tensor-parallel apply uses the XLA attention path
-(``use_pallas=False`` is forced when a bundle is sharded with model > 1).
+Pallas note: GSPMD cannot partition the custom flash-attention/GroupNorm
+kernels (it would replicate them with inserted all-gathers), so
+``shard_bundle`` installs an :class:`ops.sharding.ShardCtx` as the bundle's
+``use_pallas`` value: the kernels then wrap themselves in ``jax.shard_map``
+— batch over the "data" axis, attention heads over the "model" axis — and
+each device runs its local kernel slab, composing with the row-parallel
+out-projection psums GSPMD inserts outside. Sites that cannot shard (heads
+not divisible by the model size, short-KV cross-attention) fall back
+per-site to the XLA path, which GSPMD partitions cleanly.
 """
 
 from __future__ import annotations
@@ -61,18 +67,26 @@ def unet_tp_shardings(unet_params: Any, mesh: Mesh):
     )
 
 
-def shard_bundle(bundle, mesh: Mesh):
+def shard_bundle(bundle, mesh: Mesh, *, interpret: bool = False):
     """Place a ModelBundle on the mesh: UNet weights tensor-parallel over
     "model", VAE/CLIP replicated. Returns a new bundle whose jit cache is
-    fresh (the placement is part of the compiled program)."""
+    fresh (the placement is part of the compiled program).
+
+    ``interpret=True`` forces Pallas interpret mode inside the shard_map
+    wrappers (CPU-mesh tests of the kernel+TP composition)."""
+    from complex_prompt_diffusion_tpu.ops.sharding import ShardCtx
+
     model_size = mesh.shape.get("model", 1)
     unet_params = jax.device_put(
         bundle.unet_params, unet_tp_shardings(bundle.unet_params, mesh)
     )
     unet_cfg = bundle.unet_cfg
-    if model_size > 1 and getattr(unet_cfg, "use_pallas", None) is not False:
-        # Pallas kernels lack SPMD partitioning rules; use the XLA paths
-        unet_cfg = dataclasses.replace(unet_cfg, use_pallas=False)
+    if getattr(unet_cfg, "use_pallas", None) is not False:
+        ctx = ShardCtx(
+            mesh=mesh, data_axis="data", model_axis="model",
+            interpret=interpret,
+        )
+        unet_cfg = dataclasses.replace(unet_cfg, use_pallas=ctx)
     return dataclasses.replace(
         bundle,
         unet_cfg=unet_cfg,

@@ -152,8 +152,10 @@ def _patch(variant: str):
         U.geglu_ff = lambda y, wp, bp, wo, bo, use_pallas=None: y
         undo.append(lambda: setattr(U, "geglu_ff", _REAL["geglu_ff"]))
     elif variant == "no_groupnorm":
-        U.L.group_norm_p = lambda p, x, num_groups=32, eps=1e-5: x
-        U.L.group_norm_silu_p = lambda p, x, num_groups=32, eps=1e-5: L.silu(x)
+        U.L.group_norm_p = lambda p, x, num_groups=32, eps=1e-5, **kw: x
+        U.L.group_norm_silu_p = (
+            lambda p, x, num_groups=32, eps=1e-5, **kw: L.silu(x)
+        )
         undo.append(lambda: setattr(U.L, "group_norm_p", _REAL["gn"]))
         undo.append(lambda: setattr(U.L, "group_norm_silu_p", _REAL["gns"]))
     elif variant == "no_layernorm":

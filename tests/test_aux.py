@@ -83,6 +83,79 @@ class TestDepth:
         ch = mgr.conditioning_channel(img)
         assert ch.shape == (8, 8, 1)
 
+    def test_adabins_adapter_resize_contract(self):
+        # fake InferenceHelper records the resized input and returns a
+        # synthetic depth; verifies the reference's area clamp
+        # (/root/reference/cpd/depth.py:92-117) and the resize-back
+        class FakeHelper:
+            def __init__(self):
+                self.seen = []
+
+            def predict_pil(self, pil):
+                self.seen.append(pil.size)
+                w, h = pil.size
+                d = np.linspace(0, 1, h * w, dtype=np.float32).reshape(1, 1, h, w)
+                return None, d
+
+        helper = FakeHelper()
+        est = D.AdaBinsEstimator(model=helper)
+        # large image: area 1024*1024 > 500000 -> downscaled for the model
+        big = np.zeros((1024, 1024, 3), np.uint8)
+        d = est.estimate(big)
+        assert d.shape == (1024, 1024)
+        w, h = helper.seen[-1]
+        assert w * h <= D.AdaBinsEstimator.MAX_AREA
+        # small image: area < 448^2 -> upscaled for the model
+        small = np.zeros((64, 64, 3), np.uint8)
+        d = est.estimate(small)
+        assert d.shape == (64, 64)
+        w, h = helper.seen[-1]
+        assert w * h >= D.AdaBinsEstimator.MIN_AREA
+        # in-range image passes through unresized
+        mid = np.zeros((640, 640, 3), np.uint8)
+        est.estimate(mid)
+        assert helper.seen[-1] == (640, 640)
+
+    def test_leres_adapter_normalization(self):
+        import torch
+
+        captured = {}
+
+        class FakeLeres:
+            def inference(self, chw):
+                captured["input"] = chw.numpy()
+                return torch.from_numpy(
+                    np.linspace(0, 1, 448 * 448, dtype=np.float32).reshape(
+                        1, 1, 448, 448
+                    )
+                )
+
+        est = D.LeResEstimator(model=FakeLeres())
+        img = np.full((100, 80, 3), 128, np.uint8)
+        d = est.estimate(img)
+        assert d.shape == (100, 80)
+        x = captured["input"]
+        assert x.shape == (1, 3, 448, 448)
+        # constant 128/255 image, ImageNet-normalized per channel
+        expect = (128 / 255.0 - np.array(D.LeResEstimator.IMAGENET_MEAN)) / (
+            np.array(D.LeResEstimator.IMAGENET_STD)
+        )
+        np.testing.assert_allclose(x[0, :, 0, 0], expect, atol=1e-4)
+
+    def test_blend_path_with_adapter_estimators(self):
+        # midas_weight blend through get_depth (depth.py:189-198) with
+        # fake estimators standing in for MiDaS + AdaBins
+        class Const:
+            def __init__(self, v):
+                self.v = v
+
+            def estimate(self, img):
+                return np.full(img.shape[:2], self.v, np.float32)
+
+        img = np.zeros((16, 16, 3), np.uint8)
+        out = D.get_depth(img, (Const(1.0), Const(3.0)), weights=(0.25, 0.75))
+        np.testing.assert_allclose(out, 2.5)
+
     def test_merge_depth_blend(self):
         rng = np.random.default_rng(3)
         low = rng.random((32, 32))
