@@ -229,12 +229,40 @@ class TransformerTextConfig:
     rel_pos_bias: bool = False
     rel_pos_num_buckets: int = 32
     rel_pos_max_distance: int = 128
+    # residual-structure surface (AttentionLayers, embedder.py:366-466):
+    # macaron prepends a Scale(0.5) FF to each block (:415-416, :446);
+    # sandwich_coef front-loads attention and back-loads FF layers (:430);
+    # gate_residual swaps the additive residual for a GRUCell gate
+    # (:451-454, GRUGating :153-165); use_rezero drops the norms and
+    # scales each attention branch by a zero-init learnable scalar
+    # (:404-406, Rezero :117-125)
+    macaron: bool = False
+    sandwich_coef: int = 0
+    gate_residual: bool = False
+    use_rezero: bool = False
 
     @staticmethod
     def tiny(**kw) -> "TransformerTextConfig":
         return TransformerTextConfig(
             vocab_size=1000, hidden_size=64, num_layers=2, num_heads=4, **kw
         )
+
+    @property
+    def layer_types(self):
+        """('a'|'f', ...) execution plan (embedder.py:409-433)."""
+        default = ("f", "a", "f") if self.macaron else ("a", "f")
+        sc = self.sandwich_coef
+        if sc:
+            if not 0 < sc <= self.num_layers:
+                raise ValueError(
+                    "sandwich coefficient should be less than the depth"
+                )
+            return (
+                ("a",) * sc
+                + default * (self.num_layers - sc)
+                + ("f",) * sc
+            )
+        return default * self.num_layers
 
 
 def _init_norm(cfg, d):
@@ -255,6 +283,22 @@ def _apply_norm(cfg, p, x, eps=1e-5):
     return L.layer_norm(p, x)
 
 
+def _init_gru_gate(rng, d):
+    """GRUCell params (GRUGating, embedder.py:153-165); torch GRUCell
+    layout: weight_ih/hh stacked [3d, d] for (r, z, n) gates."""
+    bound = 1.0 / np.sqrt(d)
+
+    def u(shape):
+        return jnp.asarray(rng.uniform(-bound, bound, shape), jnp.float32)
+
+    return {
+        "w_ih": u((3 * d, d)),
+        "w_hh": u((3 * d, d)),
+        "b_ih": u((3 * d,)),
+        "b_hh": u((3 * d,)),
+    }
+
+
 def init_transformer_text(key, cfg: TransformerTextConfig):
     rng = L.as_np_rng(key)
     d = cfg.hidden_size
@@ -269,24 +313,33 @@ def init_transformer_text(key, cfg: TransformerTextConfig):
         params["rel_pos_embedding"] = jnp.asarray(
             rng.normal(size=(cfg.rel_pos_num_buckets, h)) * 0.02, jnp.float32
         )
-    for _ in range(cfg.num_layers):
-        layer = {
-            "ln1": _init_norm(cfg, d),
-            "q": L.init_linear(rng, d, d, bias=False),
-            "k": L.init_linear(rng, d, d, bias=False),
-            "v": L.init_linear(rng, d, d, bias=False),
-            "out": L.init_linear(rng, d, d),
-            "ln2": _init_norm(cfg, d),
-            "fc1": L.init_linear(rng, d, d * cfg.mlp_ratio),
-            "fc2": L.init_linear(rng, d * cfg.mlp_ratio, d),
-        }
-        if cfg.talking_heads:
-            layer["pre_softmax_proj"] = jnp.asarray(
-                np.eye(h) + rng.normal(size=(h, h)) * 0.01, jnp.float32
-            )
-            layer["post_softmax_proj"] = jnp.asarray(
-                np.eye(h) + rng.normal(size=(h, h)) * 0.01, jnp.float32
-            )
+    for kind in cfg.layer_types:
+        if kind == "a":
+            layer = {
+                "ln": _init_norm(cfg, d),
+                "q": L.init_linear(rng, d, d, bias=False),
+                "k": L.init_linear(rng, d, d, bias=False),
+                "v": L.init_linear(rng, d, d, bias=False),
+                "out": L.init_linear(rng, d, d),
+            }
+            if cfg.talking_heads:
+                layer["pre_softmax_proj"] = jnp.asarray(
+                    np.eye(h) + rng.normal(size=(h, h)) * 0.01, jnp.float32
+                )
+                layer["post_softmax_proj"] = jnp.asarray(
+                    np.eye(h) + rng.normal(size=(h, h)) * 0.01, jnp.float32
+                )
+            if cfg.use_rezero:
+                # Rezero wraps only Attention branches (embedder.py:404-406)
+                layer["rezero_g"] = jnp.zeros((1,), jnp.float32)
+        else:
+            layer = {
+                "ln": _init_norm(cfg, d),
+                "fc1": L.init_linear(rng, d, d * cfg.mlp_ratio),
+                "fc2": L.init_linear(rng, d * cfg.mlp_ratio, d),
+            }
+        if cfg.gate_residual:
+            layer["gru"] = _init_gru_gate(rng, d)
         params["layers"].append(layer)
     return params
 
@@ -316,9 +369,7 @@ def transformer_text_apply(cfg: TransformerTextConfig, params, tokens):
     if cfg.causal:
         causal_mask = jnp.tril(jnp.ones((s, s), bool))
 
-    for p in params["layers"]:
-        y = _apply_norm(cfg, p["ln1"], x)
-
+    def attn_branch(p, y):
         def split(z):
             return z.reshape(n, s, cfg.num_heads, dh).transpose(0, 2, 1, 3)
 
@@ -340,9 +391,43 @@ def transformer_text_apply(cfg: TransformerTextConfig, params, tokens):
             w = jnp.einsum("bhqk,hg->bgqk", w, p["post_softmax_proj"])
         w = w.astype(v.dtype)
         att = jnp.einsum("bhqk,bhkd->bhqd", w, v).transpose(0, 2, 1, 3).reshape(n, s, -1)
-        x = x + L.linear(p["out"], att)
-        y = _apply_norm(cfg, p["ln2"], x)
-        x = x + L.linear(p["fc2"], L.gelu(L.linear(p["fc1"], y)))
+        return L.linear(p["out"], att)
+
+    def ff_branch(p, y):
+        out = L.linear(p["fc2"], L.gelu(L.linear(p["fc1"], y)))
+        # macaron FF layers are Scale(0.5)-wrapped (embedder.py:446)
+        return out * 0.5 if cfg.macaron else out
+
+    def residual_join(p, out, residual):
+        if "gru" in p:
+            # GRUGating (embedder.py:153-165): GRUCell(input=out,
+            # hidden=residual); torch gate order (r, z, n)
+            g = p["gru"]
+            gi = jnp.dot(out, g["w_ih"].T) + g["b_ih"]
+            gh = jnp.dot(residual, g["w_hh"].T) + g["b_hh"]
+            i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+            h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(i_r + h_r)
+            z = jax.nn.sigmoid(i_z + h_z)
+            nq = jnp.tanh(i_n + r * h_n)
+            return (1.0 - z) * nq + z * residual
+        return out + residual
+
+    for kind, p in zip(cfg.layer_types, params["layers"]):
+        residual = x
+        # use_rezero replaces the norms with identity (embedder.py:404)
+        y = x if cfg.use_rezero else _apply_norm(cfg, p["ln"], x)
+        if kind == "a":
+            out = attn_branch(p, y)
+            if "rezero_g" in p:
+                out = out * p["rezero_g"]
+        else:
+            out = ff_branch(p, y)
+        x = residual_join(p, out, residual)
+    # the wrapper's final LayerNorm is unconditional (embedder.py:557,602)
+    # — use_rezero only blanks the per-layer norms
+    if cfg.use_rezero:
+        return L.layer_norm(params["final_ln"], x).astype(jnp.float32)
     return _apply_norm(cfg, params["final_ln"], x).astype(jnp.float32)
 
 

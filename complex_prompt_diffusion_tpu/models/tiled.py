@@ -31,7 +31,13 @@ from typing import Callable, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tile_positions", "tile_window", "tiled_apply"]
+__all__ = [
+    "tile_positions",
+    "tile_window",
+    "tiled_apply",
+    "tiled_apply_sharded",
+    "make_tiled_unet",
+]
 
 
 def tile_positions(size: int, tile: int, stride: int) -> Tuple[int, ...]:
@@ -92,6 +98,14 @@ def tiled_apply(
     while len(pos) % chunk:
         pos.append(pos[-1])
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(-1, chunk, 2)
+    acc, wsum = _fold_tiles(apply_fn, x, pos_arr, tile, win, chunk, cout)
+    return (acc / wsum).astype(x.dtype)
+
+
+def _fold_tiles(apply_fn, x, pos_arr, tile, win, chunk, cout):
+    """Scan over [n, chunk, 2] tile positions: gather chunk tiles, run one
+    batched apply, accumulate taper-weighted pieces + weights."""
+    b, h, w, cin = x.shape
 
     def body(carry, p):
         acc, wsum = carry
@@ -123,7 +137,70 @@ def tiled_apply(
     acc = jnp.zeros((b, h, w, cout), jnp.float32)
     wsum = jnp.zeros((h, w, 1), jnp.float32)
     (acc, wsum), _ = jax.lax.scan(body, (acc, wsum), pos_arr)
-    return (acc / wsum).astype(x.dtype)
+    return acc, wsum
+
+
+def tiled_apply_sharded(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    tile: int,
+    stride: Optional[int] = None,
+    *,
+    mesh,
+    axis: str = "data",
+    chunk: int = 1,
+) -> jax.Array:
+    """Multi-chip spatial sharding for hi-res canvases (SURVEY §5: the TPU
+    analog of sequence parallelism for image models; the reference's
+    single-GPU analog is the fold/unfold path, ddpm.py:995-1077).
+
+    The TILES shard over the mesh axis: every device folds its own subset of
+    overlapping tiles into a local partial (acc, wsum) canvas pair, then one
+    ``psum`` over the axis reconstructs the full canvas. Tiles need no halo
+    exchange — the overlap taper + fold normalization already handle tile
+    seams, so the only communication is the single canvas-sized psum per
+    UNet call (latents are small: a 1024^2 image is a 128^2x4 latent).
+
+    Matches ``tiled_apply`` exactly up to float reassociation of the fold
+    sums (same tile set, same taper, same normalization).
+    """
+    b, h, w, cin = x.shape
+    stride = stride or max(tile // 2, 1)
+    if tile >= h and tile >= w:
+        return apply_fn(x)
+    n_shards = mesh.shape[axis]
+    ys = tile_positions(h, tile, stride)
+    xs = tile_positions(w, tile, stride)
+    pos = [(y0, x0) for y0 in ys for x0 in xs]
+    overlap = tile - stride
+    win = tile_window(tile, overlap)
+    cout = jax.eval_shape(
+        apply_fn, jax.ShapeDtypeStruct((b, tile, tile, cin), x.dtype)
+    ).shape[-1]
+
+    # pad to a (shards * chunk) multiple so every device scans the same
+    # trip count (duplicates normalize out in the fold)
+    while len(pos) % (n_shards * chunk):
+        pos.append(pos[-1])
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(n_shards, -1, chunk, 2)
+
+    from jax.sharding import PartitionSpec as P
+
+    def local(x_rep, pos_local):
+        acc, wsum = _fold_tiles(
+            apply_fn, x_rep, pos_local[0], tile, win, chunk, cout
+        )
+        acc = jax.lax.psum(acc, axis)
+        wsum = jax.lax.psum(wsum, axis)
+        return (acc / wsum).astype(x_rep.dtype)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )(x, pos_arr)
 
 
 def make_tiled_unet(
@@ -131,9 +208,15 @@ def make_tiled_unet(
     tile: int,
     stride: Optional[int] = None,
     chunk: int = 1,
+    *,
+    mesh=None,
+    axis: str = "data",
 ):
     """Wrap a (x, t, ctx) -> eps UNet call with spatial tiling: t and ctx
-    are broadcast to each (possibly chunk-stacked) tile batch."""
+    are broadcast to each (possibly chunk-stacked) tile batch.
+
+    With ``mesh`` set, tiles shard over ``axis`` (``tiled_apply_sharded``)
+    — the multi-chip hi-res path."""
 
     def tiled(x, t, ctx):
         b = x.shape[0]
@@ -148,6 +231,10 @@ def make_tiled_unet(
             )
             return unet_apply_fn(xt, t_r, ctx_r)
 
+        if mesh is not None:
+            return tiled_apply_sharded(
+                fn, x, tile, stride, mesh=mesh, axis=axis, chunk=chunk
+            )
         return tiled_apply(fn, x, tile, stride, chunk=chunk)
 
     return tiled

@@ -52,10 +52,13 @@ class UNetConfig:
     use_scale_shift_norm: bool = False
     num_classes: Optional[int] = None
     dtype: str = "bfloat16"
-    # None = backend default (Pallas on TPU). Tensor-parallel bundles force
-    # False: the Pallas kernels carry no SPMD partitioning rules yet, while
-    # XLA attention partitions cleanly over sharded head projections
-    use_pallas: Optional[bool] = None
+    # None = backend default (Pallas on TPU); False = XLA paths; "cm" =
+    # opt-in channel-major fused attention; a ops.sharding.ShardCtx = mesh
+    # deployment — kernels wrap themselves in shard_map (batch -> data
+    # axis, heads -> model axis) so Pallas composes with TP/DP instead of
+    # GSPMD replicating the custom calls (parallel/tp.py shard_bundle
+    # installs this)
+    use_pallas: Any = None
 
     # SD presets ------------------------------------------------------------
     @staticmethod

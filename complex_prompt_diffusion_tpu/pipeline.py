@@ -275,10 +275,34 @@ def _build_sampler_fn(
 
     def _make_unet_eps(unet_params):
         """Raw UNet call, optionally wrapped with fold/unfold tiling
-        (ddpm.py:995-1077) for large canvases."""
+        (ddpm.py:995-1077) for large canvases. On a sharded bundle
+        (ShardCtx in unet_cfg.use_pallas) the TILES shard over the mesh's
+        data axis — the multi-chip hi-res path (SURVEY §5's spatial
+        parallelism) — and the inner UNet reverts to local kernel dispatch
+        (no nested shard_map)."""
+        from complex_prompt_diffusion_tpu.ops.sharding import ShardCtx
 
-        def unet_eps(x, t, ctx):
-            return M.unet_apply(bundle.unet_cfg, unet_params, x, t, ctx)
+        unet_cfg = bundle.unet_cfg
+        tile_mesh = None
+        tile_axis = "data"
+        if cfg.unet_tile and isinstance(unet_cfg.use_pallas, ShardCtx):
+            ctx = unet_cfg.use_pallas
+            # tile sharding closes over the UNet weights inside shard_map,
+            # so they must be replicated: require a trivial model axis
+            # (TP + tiled hi-res would need re-gathered weights; unsupported)
+            if (
+                ctx.data_axis is not None
+                and ctx.axis_size(ctx.data_axis) > 1
+                and ctx.axis_size(ctx.model_axis) == 1
+            ):
+                tile_mesh = ctx.mesh
+                tile_axis = ctx.data_axis
+                unet_cfg = dataclasses.replace(
+                    unet_cfg, use_pallas=ctx.local_use_pallas()
+                )
+
+        def unet_eps(x, t, ctx_):
+            return M.unet_apply(unet_cfg, unet_params, x, t, ctx_)
 
         if cfg.unet_tile:
             from complex_prompt_diffusion_tpu.models.tiled import make_tiled_unet
@@ -288,6 +312,8 @@ def _build_sampler_fn(
                 cfg.unet_tile,
                 cfg.unet_tile_stride or None,
                 max(cfg.unet_tile_chunk, 1),
+                mesh=tile_mesh,
+                axis=tile_axis,
             )
         return unet_eps
 

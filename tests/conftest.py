@@ -8,7 +8,13 @@ kernels run in interpret mode on CPU (handled inside the ops modules).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE the CPU backend: the session environment pins JAX_PLATFORMS to the
+# TPU plugin, so a setdefault would silently leave every test running
+# against the single real TPU through the tunnel — slow remote compiles,
+# no virtual mesh, and the bench contended for the chip (this exact bug
+# shipped in rounds 1-2: the suite "worked" but took 1h40m on the tunnel).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""  # disable the TPU tunnel plugin
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

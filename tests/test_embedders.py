@@ -118,6 +118,59 @@ class TestAttentionLayersFlags:
         bias matrix depends only on (i - j); just smoke + shape here."""
         self._run(rel_pos_bias=True)
 
+    def test_macaron_plan_and_scale(self):
+        from complex_prompt_diffusion_tpu.models.embedders import (
+            TransformerTextConfig,
+        )
+
+        cfg = TransformerTextConfig.tiny(macaron=True)
+        # macaron block = (f, a, f) per depth (embedder.py:415-416)
+        assert cfg.layer_types == ("f", "a", "f") * 2
+        _, params, _, out = self._run(macaron=True)
+        assert len(params["layers"]) == 6
+
+    def test_sandwich_plan(self):
+        from complex_prompt_diffusion_tpu.models.embedders import (
+            TransformerTextConfig,
+        )
+
+        cfg = TransformerTextConfig.tiny(sandwich_coef=1)
+        # ('a',)*sc + default*(depth-sc) + ('f',)*sc (embedder.py:430)
+        assert cfg.layer_types == ("a", "a", "f", "f")
+        self._run(sandwich_coef=1)
+        import pytest
+
+        with pytest.raises(ValueError):
+            TransformerTextConfig.tiny(sandwich_coef=5).layer_types
+
+    def test_gate_residual_runs_and_gates(self):
+        _, params, _, out = self._run(gate_residual=True)
+        assert "gru" in params["layers"][0]
+        _, _, _, plain = self._run()
+        assert not np.allclose(np.asarray(out), np.asarray(plain))
+
+    def test_rezero_zeroes_attention_at_init(self):
+        from complex_prompt_diffusion_tpu.models.embedders import (
+            TransformerTextConfig,
+            init_transformer_text,
+            transformer_text_apply,
+        )
+
+        cfg = TransformerTextConfig.tiny(use_rezero=True)
+        params = init_transformer_text(jax.random.PRNGKey(0), cfg)
+        tokens = jnp.asarray([[1, 5, 9, 12]])
+        base = transformer_text_apply(cfg, params, tokens)
+        # g is zero-init, so perturbing attention weights must not matter
+        params["layers"][0]["out"]["kernel"] = (
+            params["layers"][0]["out"]["kernel"] + 1.0
+        )
+        same = transformer_text_apply(cfg, params, tokens)
+        np.testing.assert_allclose(np.asarray(base), np.asarray(same), atol=1e-6)
+        # ... until g becomes non-zero
+        params["layers"][0]["rezero_g"] = jnp.ones((1,), jnp.float32)
+        changed = transformer_text_apply(cfg, params, tokens)
+        assert not np.allclose(np.asarray(base), np.asarray(changed))
+
     def test_causal_masks_future(self):
         from complex_prompt_diffusion_tpu.models.embedders import (
             TransformerTextConfig,

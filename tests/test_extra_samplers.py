@@ -13,7 +13,11 @@ from complex_prompt_diffusion_tpu.samplers.blur import (
     sample_blur,
 )
 from complex_prompt_diffusion_tpu.samplers.dpm_adaptive import sample_dpm_adaptive
-from complex_prompt_diffusion_tpu.samplers.loglik import log_likelihood
+from complex_prompt_diffusion_tpu.samplers.loglik import (
+    log_likelihood,
+    log_likelihood_adaptive,
+    sample_log_likelihood,
+)
 
 
 def _den(x, s, uc):
@@ -57,6 +61,44 @@ class TestLogLikelihood:
         ll_t = log_likelihood(_den, x_typical, 0.02, 10.0, key=jax.random.PRNGKey(4), steps=30)
         ll_o = log_likelihood(_den, x_outlier, 0.02, 10.0, key=jax.random.PRNGKey(4), steps=30)
         assert float(ll_o[0]) < float(ll_t[0])
+
+    def test_adaptive_matches_fixed_grid(self):
+        # the dopri5 while_loop (reference torchdiffeq contract,
+        # /root/reference/cpd/samplers/log.py:30-49) must agree with the
+        # fixed RK4 on the same smooth ODE, with adaptive step control
+        # actually engaging (far fewer than max_steps accepted)
+        x0 = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 2))
+        k = jax.random.PRNGKey(6)
+        ll_fix = log_likelihood(_den, x0, 0.02, 10.0, key=k, steps=120)
+        ll_ada, nsteps = log_likelihood_adaptive(
+            _den, x0, 0.02, 10.0, key=k, atol=1e-5, rtol=1e-5
+        )
+        n = int(nsteps)
+        assert 3 < n < 512, n
+        np.testing.assert_allclose(
+            np.asarray(ll_ada), np.asarray(ll_fix), rtol=2e-3
+        )
+
+    def test_adaptive_tolerance_controls_cost(self):
+        x0 = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 2))
+        k = jax.random.PRNGKey(8)
+        _, n_loose = log_likelihood_adaptive(
+            _den, x0, 0.02, 10.0, key=k, atol=1e-2, rtol=1e-2
+        )
+        _, n_tight = log_likelihood_adaptive(
+            _den, x0, 0.02, 10.0, key=k, atol=1e-6, rtol=1e-6
+        )
+        assert int(n_tight) > int(n_loose)
+
+    def test_registry_default_is_adaptive(self):
+        # sample_log_likelihood with steps=None routes to dopri5
+        sig = S.make_sigma_schedule("karras", 20, sigma_min=0.05, sigma_max=8.0)
+        x0 = jax.random.normal(jax.random.PRNGKey(9), (1, 4, 4, 2))
+        ll, aux = sample_log_likelihood(
+            _den, x0, sig, key=jax.random.PRNGKey(10)
+        )
+        assert aux is None
+        assert np.isfinite(np.asarray(ll)).all()
 
 
 class TestBlurDiffusion:

@@ -69,6 +69,75 @@ class TestFoldUnfold:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+class TestTiledSharded:
+    """Multi-chip spatial sharding (VERDICT r2 item 6): tiles shard over
+    the mesh's data axis; the folded canvas must match the single-device
+    tiled result."""
+
+    def _mesh(self, n=8):
+        from complex_prompt_diffusion_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(data=n, model=1)
+
+    def test_matches_single_device_fold(self):
+        from complex_prompt_diffusion_tpu.models.tiled import (
+            tiled_apply_sharded,
+        )
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, 24, 24, 4)).astype(np.float32))
+        f = lambda t: jnp.tanh(t) * 2.0 - 0.5
+        ref = tiled_apply(f, x, 8, 4)
+        got = tiled_apply_sharded(f, x, 8, 4, mesh=self._mesh(), chunk=1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_chunked_and_padded_tiles(self):
+        # 9 tiles over 8 devices with chunk 2 -> padding to 16 positions;
+        # duplicates must normalize out exactly
+        from complex_prompt_diffusion_tpu.models.tiled import (
+            tiled_apply_sharded,
+        )
+
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
+        f = lambda t: jnp.sin(t)
+        ref = tiled_apply(f, x, 8, 4)
+        got = tiled_apply_sharded(f, x, 8, 4, mesh=self._mesh(), chunk=2)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_hires_render_sharded_matches_tiled(self):
+        # the "1024^2-class" canvas at test scale: a DP-sharded bundle with
+        # unet_tile set routes tiles over the 8-device mesh; latents must
+        # match the unsharded tiled render
+        import dataclasses as dc
+
+        from complex_prompt_diffusion_tpu.parallel.tp import shard_bundle
+        from complex_prompt_diffusion_tpu.pipeline import (
+            ModelBundle, RenderConfig, txt2img,
+        )
+        from complex_prompt_diffusion_tpu.ops.sharding import ShardCtx
+
+        b = ModelBundle.random("tiny")
+        cfg = RenderConfig(
+            height=256, width=256, steps=2, seed=11, unet_tile=16,
+            unet_tile_stride=8,
+        )
+        _, ref = txt2img(b, "a cat", cfg=cfg, decode=False)
+
+        mesh = self._mesh()
+        sb = shard_bundle(b, mesh)
+        assert isinstance(sb.unet_cfg.use_pallas, ShardCtx)
+        with mesh:
+            _, lat = txt2img(sb, "a cat", cfg=cfg, decode=False)
+        np.testing.assert_allclose(
+            np.asarray(lat), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+
 class TestTiledUNet:
     def test_tiled_unet_runs_large_canvas(self):
         cfg = dataclasses.replace(M.UNetConfig.tiny(), dtype="float32")
