@@ -93,21 +93,31 @@ def tiled_apply(
         apply_fn, jax.ShapeDtypeStruct((b, tile, tile, cin), x.dtype)
     ).shape[-1]
 
-    # pad the position list to a chunk multiple; duplicates are harmless
-    # (their weighted contribution is added twice and normalized back out)
+    # pad the position list to a chunk multiple. Padding duplicates get a
+    # ZERO fold weight: a duplicated tile does NOT normalize out where it
+    # overlaps a different tile ((wa*a + k*wb*b)/(wa + k*wb) biases toward
+    # b for k > 1), so live-weighting duplicates would skew seam regions.
+    n_live = len(pos)
     while len(pos) % chunk:
         pos.append(pos[-1])
+    valid = [1.0] * n_live + [0.0] * (len(pos) - n_live)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(-1, chunk, 2)
-    acc, wsum = _fold_tiles(apply_fn, x, pos_arr, tile, win, chunk, cout)
+    valid_arr = jnp.asarray(valid, jnp.float32).reshape(-1, chunk)
+    acc, wsum = _fold_tiles(
+        apply_fn, x, pos_arr, valid_arr, tile, win, chunk, cout
+    )
     return (acc / wsum).astype(x.dtype)
 
 
-def _fold_tiles(apply_fn, x, pos_arr, tile, win, chunk, cout):
-    """Scan over [n, chunk, 2] tile positions: gather chunk tiles, run one
-    batched apply, accumulate taper-weighted pieces + weights."""
+def _fold_tiles(apply_fn, x, pos_arr, valid_arr, tile, win, chunk, cout):
+    """Scan over [n, chunk, 2] tile positions (+ [n, chunk] validity):
+    gather chunk tiles, run one batched apply, accumulate taper-weighted
+    pieces + weights. Padding positions carry valid=0 so their tiles fold
+    with zero weight."""
     b, h, w, cin = x.shape
 
-    def body(carry, p):
+    def body(carry, pv):
+        p, v = pv
         acc, wsum = carry
         # gather chunk tiles -> one [chunk*B] batched call
         tiles = [
@@ -119,7 +129,8 @@ def _fold_tiles(apply_fn, x, pos_arr, tile, win, chunk, cout):
         out = apply_fn(jnp.concatenate(tiles, axis=0))
         out = out.reshape(chunk, b, tile, tile, cout)
         for j in range(chunk):
-            piece = (out[j].astype(jnp.float32) * win).astype(acc.dtype)
+            wj = win * v[j]
+            piece = (out[j].astype(jnp.float32) * wj).astype(acc.dtype)
             cur = jax.lax.dynamic_slice(
                 acc, (0, p[j, 0], p[j, 1], 0), (b, tile, tile, cout)
             )
@@ -130,13 +141,13 @@ def _fold_tiles(apply_fn, x, pos_arr, tile, win, chunk, cout):
                 wsum, (p[j, 0], p[j, 1], 0), (tile, tile, 1)
             )
             wsum = jax.lax.dynamic_update_slice(
-                wsum, wcur + win, (p[j, 0], p[j, 1], 0)
+                wsum, wcur + wj, (p[j, 0], p[j, 1], 0)
             )
         return (acc, wsum), None
 
     acc = jnp.zeros((b, h, w, cout), jnp.float32)
     wsum = jnp.zeros((h, w, 1), jnp.float32)
-    (acc, wsum), _ = jax.lax.scan(body, (acc, wsum), pos_arr)
+    (acc, wsum), _ = jax.lax.scan(body, (acc, wsum), (pos_arr, valid_arr))
     return acc, wsum
 
 
@@ -179,16 +190,21 @@ def tiled_apply_sharded(
     ).shape[-1]
 
     # pad to a (shards * chunk) multiple so every device scans the same
-    # trip count (duplicates normalize out in the fold)
+    # trip count; padding duplicates fold with ZERO weight (see
+    # ``tiled_apply`` — live duplicates would bias seam regions)
+    n_live = len(pos)
     while len(pos) % (n_shards * chunk):
         pos.append(pos[-1])
+    valid = [1.0] * n_live + [0.0] * (len(pos) - n_live)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(n_shards, -1, chunk, 2)
+    valid_arr = jnp.asarray(valid, jnp.float32).reshape(n_shards, -1, chunk)
 
     from jax.sharding import PartitionSpec as P
 
-    def local(x_rep, pos_local):
+    def local(x_rep, pos_local, valid_local):
         acc, wsum = _fold_tiles(
-            apply_fn, x_rep, pos_local[0], tile, win, chunk, cout
+            apply_fn, x_rep, pos_local[0], valid_local[0], tile, win, chunk,
+            cout,
         )
         acc = jax.lax.psum(acc, axis)
         wsum = jax.lax.psum(wsum, axis)
@@ -197,10 +213,10 @@ def tiled_apply_sharded(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis)),
+        in_specs=(P(), P(axis), P(axis)),
         out_specs=P(),
         check_vma=False,
-    )(x, pos_arr)
+    )(x, pos_arr, valid_arr)
 
 
 def make_tiled_unet(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -33,6 +34,11 @@ _LOG2E = math.log2(math.e)
 # Above this KV length the [Skv, block_q] score block no longer fits VMEM
 # comfortably and the online (streaming-KV) kernel takes over.
 _ONEPASS_MAX_KV = 16384
+
+# Canonical-K scores matmul (see _onepass_kernel_kcanon): read once at
+# import; the lru-cached wrappers trace it in, so flipping mid-process has
+# no effect on already-traced shapes.
+_USE_KCANON = os.environ.get("CPD_ATTN_KCANON", "0") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -369,6 +375,74 @@ def _onepass_attention_bhds(
     return out if sq_pad == sq else out[:, :, :sq]
 
 
+def _onepass_kernel_kcanon(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, skv_pad):
+    """`_onepass_kernel` with K in CANONICAL [Skv, d] layout.
+
+    The transposed kernel's scores matmul contracts d on the SUBLANES of
+    both operands, which Mosaic runs at f32 rate (~37 TF/s useful,
+    docs/PERF.md round-2 close-out). With k canonical the contraction is
+    lhs-lanes x rhs-sublanes — the native MXU orientation — running at full
+    bf16 rate on d->128 padded work (~61 TF/s useful at d=40: 1.66x).
+    Round 2's H1 experiment (scripts/perf_attn11.py) proved the kernel-only
+    win but paid an XLA k-transpose that ate it; here k is simply NOT
+    transposed by the wrapper (the relayout disappears, it doesn't move).
+    PV is unchanged (already canonical at full rate)."""
+    q = q_ref[0]  # [d, block_q]
+    k = k_ref[0]  # [skv_pad, d] canonical
+    s = jax.lax.dot_general(
+        k, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [skv_pad, block_q]
+    s = s * (scale * _LOG2E)
+    if skv_pad > kv_len:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(row < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=0, keepdims=True)  # [1, block_q]
+    p = jnp.exp2(s - m).astype(v_ref.dtype)
+    v = v_ref[0]  # [d+1, skv_pad]; last row ones
+    o = jax.lax.dot_general(
+        v, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [d+1, block_q]
+    d = o.shape[0] - 1
+    o_ref[0] = (o[:d] / o[d:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def _onepass_attention_kcanon(
+    q_t, k_n, v_t, *, scale: float, block_q: int, interpret: bool
+):
+    """One-pass call with canonical K. q_t: [BH, D, Sq]; k_n: [BH, Skv, D];
+    v_t: [BH, D+1, Skv] (ones-row already appended)."""
+    bh, d, sq = q_t.shape
+    kv_len = k_n.shape[1]
+    skv_pad = _round_up(kv_len, 128)
+    sq_pad = _round_up(sq, block_q)
+    if sq_pad != sq:
+        q_t = jnp.pad(q_t, ((0, 0), (0, 0), (0, sq_pad - sq)))
+    if skv_pad != kv_len:
+        k_n = jnp.pad(k_n, ((0, 0), (0, skv_pad - kv_len), (0, 0)))
+        v_t = jnp.pad(v_t, ((0, 0), (0, 0), (0, skv_pad - kv_len)))
+    grid = (bh, sq_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _onepass_kernel_kcanon, scale=scale, kv_len=kv_len, skv_pad=skv_pad
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, d, sq_pad), q_t.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, skv_pad, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, d + 1, skv_pad), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda b, i: (b, 0, i)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q_t, k_n, v_t)
+    return out if sq_pad == sq else out[:, :, :sq]
+
+
 def _onepass_block_q(sq: int, kv_len: int) -> int:
     """Largest 128-multiple query block whose [Skv, bq] f32 score block plus
     bf16 probability block stays within ~48 MB of VMEM, capped at 2048
@@ -390,14 +464,22 @@ def _onepass_attention_diff(scale, block_q, interpret):
         b, h, sq, d = q.shape
         kv = k.shape[2]
         q_t = q.reshape(b * h, sq, d).transpose(0, 2, 1)
-        k_t = k.reshape(b * h, kv, d).transpose(0, 2, 1)
         v_t = v.reshape(b * h, kv, d).transpose(0, 2, 1)
         v_t = jnp.concatenate(
             [v_t, jnp.ones((b * h, 1, kv), v_t.dtype)], axis=1
         )
-        out_t = _onepass_attention_bhds(
-            q_t, k_t, v_t, scale=scale, block_q=block_q, interpret=interpret
-        )
+        if _USE_KCANON:
+            # k stays canonical: its wrapper transpose disappears entirely
+            out_t = _onepass_attention_kcanon(
+                q_t, k.reshape(b * h, kv, d), v_t,
+                scale=scale, block_q=block_q, interpret=interpret,
+            )
+        else:
+            k_t = k.reshape(b * h, kv, d).transpose(0, 2, 1)
+            out_t = _onepass_attention_bhds(
+                q_t, k_t, v_t, scale=scale, block_q=block_q,
+                interpret=interpret,
+            )
         return out_t.transpose(0, 2, 1).reshape(b, h, sq, d)
 
     @jax.custom_vjp
@@ -447,13 +529,25 @@ def _onepass_merged_diff(scale, block_q, heads, interpret):
                 .reshape(b * heads, d, x.shape[1])
             )
 
-        q_t, k_t, v_t = t(q), t(k), t(v)
+        q_t, v_t = t(q), t(v)
         v_t = jnp.concatenate(
             [v_t, jnp.ones((b * heads, 1, kv), v_t.dtype)], axis=1
         )
-        out_t = _onepass_attention_bhds(
-            q_t, k_t, v_t, scale=scale, block_q=block_q, interpret=interpret
-        )
+        if _USE_KCANON:
+            k_n = (
+                k.reshape(b, kv, heads, d)
+                .transpose(0, 2, 1, 3)
+                .reshape(b * heads, kv, d)
+            )
+            out_t = _onepass_attention_kcanon(
+                q_t, k_n, v_t, scale=scale, block_q=block_q,
+                interpret=interpret,
+            )
+        else:
+            out_t = _onepass_attention_bhds(
+                q_t, t(k), v_t, scale=scale, block_q=block_q,
+                interpret=interpret,
+            )
         return (
             out_t.reshape(b, heads, d, sq)
             .transpose(0, 3, 1, 2)

@@ -179,9 +179,16 @@ def geglu_ff(x, w1, b1, w2, b2, *, use_pallas=None, interpret: bool = False):
     if not ((use_pallas and fits) or (interpret and fits)):
         return _ff_xla(x, w1.astype(x.dtype), b1.astype(x.dtype),
                        w2.astype(x.dtype), b2.astype(x.dtype))
+    # largest divisor of the hidden width that is lane-aligned and whose
+    # weight slice (w1 value+gate + w2 ~= 6*c*block_j bytes) fits the VMEM
+    # chunk budget. Divisor-based (not power-of-2 doubling) so SD's
+    # h4=1280/2560 hidden widths run with nj=1 (no output-accumulator
+    # revisits) at levels 0 and 1.
     block_j = 256
-    while h4 % (block_j * 2) == 0 and block_j < 1024 and c * block_j * 6 < 8_000_000:
-        block_j *= 2
+    for d in range(min(h4, 12_000_000 // (6 * c)) // 128 * 128, 127, -128):
+        if h4 % d == 0:
+            block_j = d
+            break
     m = 1
     for d in x.shape[:-1]:
         m *= d

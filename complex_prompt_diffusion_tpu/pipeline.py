@@ -206,12 +206,18 @@ class RenderConfig:
         return (self.height // 8, self.width // 8, 4)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "layer"))
+def _clip_encode_jit(cfg, params, tokens, layer):
+    return M.clip_text_apply(cfg, params, tokens, layer=layer)
+
+
 def encode_prompt(bundle: ModelBundle, text: Union[str, list]) -> jax.Array:
     """Text -> CLIP conditioning [N, 77, D] (FrozenCLIPEmbedder.encode
-    semantics, embedder.py:824-838)."""
+    semantics, embedder.py:824-838). One jit'd program — eager dispatch
+    costs hundreds of ms of per-op RPCs on a remote backend."""
     tokens = jnp.asarray(bundle.tokenizer(text))
-    return M.clip_text_apply(
-        bundle.clip_cfg, bundle.clip_params, tokens, layer=bundle.clip_layer
+    return _clip_encode_jit(
+        bundle.clip_cfg, bundle.clip_params, tokens, bundle.clip_layer
     )
 
 
@@ -647,12 +653,27 @@ def sample_latents(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _decode_latents_u8_jit(cfg, params, latents):
+    img = M.vae_decode(cfg, params, latents / LATENT_SCALE)
+    img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+    return jnp.round(img * 255).astype(jnp.uint8)
+
+
 def decode_latents(bundle: ModelBundle, latents: jax.Array) -> np.ndarray:
     """Latents -> uint8 HWC images (render.py:31-36 semantics: /0.18215,
-    VAE decode, [-1,1] -> [0,255])."""
-    img = M.vae_decode(bundle.vae_cfg, bundle.vae_params, latents / LATENT_SCALE)
-    img = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
-    return np.asarray(jnp.round(img * 255).astype(jnp.uint8))
+    VAE decode, [-1,1] -> [0,255]). The decode + postprocess is one jit'd
+    program returning uint8 (one device->host transfer)."""
+    return np.asarray(
+        _decode_latents_u8_jit(bundle.vae_cfg, bundle.vae_params, latents)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sample"))
+def _vae_encode_jit(cfg, params, img, key, sample):
+    post = M.vae_encode(cfg, params, img)
+    z = post.sample(key) if sample else post.mode()
+    return z * LATENT_SCALE
 
 
 def encode_image(
@@ -664,9 +685,10 @@ def encode_image(
         img = img[None]
     if img.dtype == jnp.uint8 or float(img.max()) > 2.0:
         img = img / 127.5 - 1.0
-    post = M.vae_encode(bundle.vae_cfg, bundle.vae_params, img)
-    z = post.mode() if key is None else post.sample(key)
-    return z * LATENT_SCALE
+    return _vae_encode_jit(
+        bundle.vae_cfg, bundle.vae_params, img,
+        jax.random.PRNGKey(0) if key is None else key, key is not None,
+    )
 
 
 def txt2img(

@@ -107,9 +107,11 @@ def clip_guided_txt2img(
     cond = encode_prompt(bundle, prompt)
     uncond = encode_prompt(bundle, negative_prompt)
     if text_embedding_clip is None:
-        pooled = M.clip_text_apply(
+        from complex_prompt_diffusion_tpu.pipeline import _clip_encode_jit
+
+        pooled = _clip_encode_jit(
             bundle.clip_cfg, bundle.clip_params,
-            jnp.asarray(bundle.tokenizer(clip_prompt or prompt)), layer="pooled",
+            jnp.asarray(bundle.tokenizer(clip_prompt or prompt)), "pooled",
         )
         text_embedding_clip = pooled
     text_embedding_clip = jnp.atleast_2d(text_embedding_clip)

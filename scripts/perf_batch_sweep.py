@@ -29,7 +29,11 @@ from complex_prompt_diffusion_tpu.guidance.cfg import (
     GuidanceConfig,
     make_uc_scale_schedule,
 )
-import complex_prompt_diffusion_tpu.ops.attention as A
+# `ops/__init__` re-exports the `attention` function, shadowing the
+# submodule attribute; resolve the module object explicitly.
+import importlib
+
+A = importlib.import_module("complex_prompt_diffusion_tpu.ops.attention")
 
 
 def run_one(batch: int, block_q: int, steps: int, repeats: int):

@@ -36,7 +36,13 @@ from complex_prompt_diffusion_tpu.guidance.cfg import (
 )
 from complex_prompt_diffusion_tpu.models import layers as L
 import complex_prompt_diffusion_tpu.models.unet as U
-import complex_prompt_diffusion_tpu.ops.attention as A
+
+# `ops/__init__` re-exports the `attention` *function*, shadowing the
+# submodule attribute — `import ...ops.attention as A` would bind the
+# function. Resolve the module object explicitly.
+import importlib
+
+A = importlib.import_module("complex_prompt_diffusion_tpu.ops.attention")
 
 
 # --------------------------------------------------------------------------
@@ -148,6 +154,29 @@ def _patch(variant: str):
         set_unet_mha(_mha_filter(lambda sq, kv, s=s: sq == s and kv == sq))
     elif variant == "no_attn_cross":
         set_unet_mha(_mha_filter(lambda sq, kv: kv != sq))
+    elif variant == "attn_xla":
+        # kernel-vs-XLA in context: route every attention site to XLA
+        set_unet_mha(
+            lambda q, k, v, num_heads, scale=None, use_pallas=None:
+            _REAL["mha"](q, k, v, num_heads, scale, use_pallas=False)
+        )
+    elif variant == "ff_xla":
+        U.geglu_ff = (
+            lambda y, wp, bp, wo, bo, use_pallas=None:
+            _REAL["geglu_ff"](y, wp, bp, wo, bo, use_pallas=False)
+        )
+        undo.append(lambda: setattr(U, "geglu_ff", _REAL["geglu_ff"]))
+    elif variant == "gn_xla":
+        U.L.group_norm_p = (
+            lambda p, x, num_groups=32, eps=1e-5, **kw:
+            _REAL["gn"](p, x, num_groups, eps, use_pallas=False)
+        )
+        U.L.group_norm_silu_p = (
+            lambda p, x, num_groups=32, eps=1e-5, **kw:
+            _REAL["gns"](p, x, num_groups, eps, use_pallas=False)
+        )
+        undo.append(lambda: setattr(U.L, "group_norm_p", _REAL["gn"]))
+        undo.append(lambda: setattr(U.L, "group_norm_silu_p", _REAL["gns"]))
     elif variant == "no_ff":
         U.geglu_ff = lambda y, wp, bp, wo, bo, use_pallas=None: y
         undo.append(lambda: setattr(U, "geglu_ff", _REAL["geglu_ff"]))

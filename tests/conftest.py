@@ -8,11 +8,16 @@ kernels run in interpret mode on CPU (handled inside the ops modules).
 
 import os
 
-# FORCE the CPU backend: the session environment pins JAX_PLATFORMS to the
-# TPU plugin, so a setdefault would silently leave every test running
-# against the single real TPU through the tunnel — slow remote compiles,
-# no virtual mesh, and the bench contended for the chip (this exact bug
-# shipped in rounds 1-2: the suite "worked" but took 1h40m on the tunnel).
+# FORCE the CPU backend. Env vars alone are NOT enough on this host: the
+# TPU plugin is registered by a sitecustomize.py AT INTERPRETER BOOT
+# (gated on PALLAS_AXON_POOL_IPS), which imports jax and latches
+# JAX_PLATFORMS=axon into jax.config before pytest ever loads this
+# conftest. Backends initialize lazily though, so forcing the platform
+# through the CONFIG API (not the env var) before any device use still
+# wins. (Rounds 1-2 shipped the env-var-only version: the suite "worked"
+# but silently ran every test against the single real TPU through the
+# tunnel — 1h40m.) The env vars are still set for subprocesses spawned
+# by tests (multichip dryrun, tokenizer cross-checks).
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""  # disable the TPU tunnel plugin
 flags = os.environ.get("XLA_FLAGS", "")
@@ -22,6 +27,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402,F401
+
+jax.config.update("jax_platforms", "cpu")
 
 # This jax build's DEFAULT matmul precision demotes f32 matmuls (~1e-1 abs
 # error at dim 128); pin full precision so numerics tests are meaningful.
