@@ -14,6 +14,7 @@ Layout: NHWC (TPU-native). Weights gamma/beta are per-channel [C].
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -27,28 +28,49 @@ __all__ = ["group_norm", "group_norm_silu"]
 # Per-sample VMEM budget for the single-pass kernel (bytes of f32 activation).
 _VMEM_BUDGET = 16 * 1024 * 1024
 
+# One-pass E[x^2]-E[x]^2 stats for <=16-bit inputs (A/B gate, read once at
+# import like CPD_TPU_PALLAS_CONV — trace-time semantics documented there).
+_ONE_PASS = os.environ.get("CPD_TPU_GN_TWO_PASS", "0") != "1"
 
-def _gn_kernel(x_ref, gamma_ref, beta_ref, c2g_ref, o_ref, *, eps, n_per_group, silu):
+
+def _gn_kernel(
+    x_ref, gamma_ref, beta_ref, c2g_ref, o_ref, *, eps, n_per_group, silu,
+    one_pass,
+):
     """One grid step = one sample. x: [1, HW, C]."""
     x = x_ref[0].astype(jnp.float32)  # [HW, C]
     c2g = c2g_ref[...]  # [C, G] one-hot (f32)
 
-    # two-pass stats (x is VMEM-resident, the second pass is cheap): the
-    # E[x^2]-E[x]^2 shortcut loses ~3 digits to cancellation in f32
-    s1 = jnp.sum(x, axis=0, keepdims=True)  # [1, C]
-    g1 = jnp.dot(s1, c2g, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)  # [1, G]
-    mean_g = g1 / n_per_group
-    mean_c = jnp.dot(mean_g, c2g.T, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    xc = x - mean_c
-    s2 = jnp.sum(xc * xc, axis=0, keepdims=True)
-    g2 = jnp.dot(s2, c2g, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    var_g = g2 / n_per_group
+    def gsum(a):  # per-channel sum -> per-group sum -> back per channel
+        s = jnp.dot(a, c2g, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        return s
+
+    def to_c(g):
+        return jnp.dot(g, c2g.T, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    if one_pass:
+        # E[x^2]-E[x]^2 stats: one VPU pass over x instead of two. Loses
+        # ~3 digits to cancellation in f32 — used only for <=16-bit inputs,
+        # where the residual accuracy still exceeds the storage dtype.
+        s1 = jnp.sum(x, axis=0, keepdims=True)  # [1, C]
+        s2 = jnp.sum(x * x, axis=0, keepdims=True)
+        mean_g = gsum(s1) / n_per_group
+        ex2_g = gsum(s2) / n_per_group
+        var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+        mean_c = to_c(mean_g)
+        xc = x - mean_c
+    else:
+        # two-pass stats (x is VMEM-resident, the second pass is cheap)
+        s1 = jnp.sum(x, axis=0, keepdims=True)  # [1, C]
+        mean_g = gsum(s1) / n_per_group
+        mean_c = to_c(mean_g)
+        xc = x - mean_c
+        s2 = jnp.sum(xc * xc, axis=0, keepdims=True)
+        var_g = gsum(s2) / n_per_group
     rstd_g = jax.lax.rsqrt(var_g + eps)
-    rstd_c = jnp.dot(rstd_g, c2g.T, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+    rstd_c = to_c(rstd_g)
 
     y = xc * rstd_c
     y = y * gamma_ref[...].astype(jnp.float32) + beta_ref[...].astype(jnp.float32)
@@ -68,9 +90,11 @@ def _gn_pallas(x, gamma, beta, *, num_groups, eps, silu, interpret):
         c2g[g * group_size : (g + 1) * group_size, g] = 1.0
     c2g = jnp.asarray(c2g)
 
+    one_pass = _ONE_PASS and jnp.dtype(x.dtype).itemsize <= 2
     out = pl.pallas_call(
         functools.partial(
-            _gn_kernel, eps=eps, n_per_group=float(hw * group_size), silu=silu
+            _gn_kernel, eps=eps, n_per_group=float(hw * group_size),
+            silu=silu, one_pass=one_pass,
         ),
         out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
         grid=(n,),

@@ -15,6 +15,7 @@ ops/groupnorm.py, so guidance gradients compose.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["geglu_ff"]
+
+# Row-block cap (A/B gate, read once at import — trace-time semantics).
+# 512 is the measured optimum at the SD bench batch; 1024 measured
+# +0.6 ms/step WORSE in isolation (docs/PERF.md round-3 budget table).
+_BLOCK_M_CAP = int(os.environ.get("CPD_TPU_FF_BLOCK_M", "512"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -192,5 +198,10 @@ def geglu_ff(x, w1, b1, w2, b2, *, use_pallas=None, interpret: bool = False):
     m = 1
     for d in x.shape[:-1]:
         m *= d
-    block_m = 512 if m >= 512 else _round_up(m, 8)
+    # taller row blocks cut the per-row-block weight refetch; cap is an A/B
+    # gate (read once at import — trace-time semantics)
+    if m >= 512:
+        block_m = min(_BLOCK_M_CAP, 1 << (m.bit_length() - 1))
+    else:
+        block_m = _round_up(m, 8)
     return _ff_diff(block_m, block_j, interpret)(x, w1, b1, w2, b2)

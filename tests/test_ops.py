@@ -184,6 +184,23 @@ class TestGroupNorm:
             np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
         )
 
+    def test_bf16_one_pass_matches_xla(self):
+        # <=16-bit inputs take the one-pass E[x^2]-E[x]^2 stats path; the
+        # cancellation residual must stay below bf16 storage resolution
+        x, gamma, beta = self._data()
+        x = (x * 3 + 1).astype(jnp.bfloat16)  # shifted: stresses cancellation
+        gamma, beta = gamma.astype(jnp.bfloat16), beta.astype(jnp.bfloat16)
+        for fn in (ops.group_norm, ops.group_norm_silu):
+            ref = fn(x, gamma, beta, num_groups=32, use_pallas=False)
+            out = fn(x, gamma, beta, num_groups=32, interpret=True)
+            assert out.dtype == jnp.bfloat16
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32),
+                np.asarray(ref, np.float32),
+                atol=2 ** -10,  # half a bf16 ULP at |y|~1
+                rtol=2 ** -7,
+            )
+
     def test_silu_applied(self):
         x, gamma, beta = self._data(n=1)
         a = ops.group_norm(x, gamma, beta, use_pallas=False)
