@@ -116,6 +116,194 @@ def _gn_pallas(x, gamma, beta, *, num_groups, eps, silu, interpret):
     return out.reshape(n, h, w, c)
 
 
+def _gn_stats_kernel(x_ref, c2g_ref, stats_ref, s1_ref, s2_ref, *, eps,
+                     n_per_group, nk):
+    """Streaming stats pass: grid (n, nk), one HW chunk per step. f32
+    accumulators persist in scratch across the (sequential) chunk steps;
+    the final step reduces channels -> groups and writes [mean_c; rstd_c]."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # [chunk_hw, C]
+    s1_ref[...] += jnp.sum(x, axis=0, keepdims=True)
+    s2_ref[...] += jnp.sum(x * x, axis=0, keepdims=True)
+
+    @pl.when(k == nk - 1)
+    def _finalize():
+        c2g = c2g_ref[...]  # [C, G]
+        hi = jax.lax.Precision.HIGHEST
+        mean_g = jnp.dot(s1_ref[...], c2g, preferred_element_type=jnp.float32,
+                         precision=hi) / n_per_group
+        ex2_g = jnp.dot(s2_ref[...], c2g, preferred_element_type=jnp.float32,
+                        precision=hi) / n_per_group
+        var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+        rstd_g = jax.lax.rsqrt(var_g + eps)
+        mean_c = jnp.dot(mean_g, c2g.T, preferred_element_type=jnp.float32,
+                         precision=hi)
+        rstd_c = jnp.dot(rstd_g, c2g.T, preferred_element_type=jnp.float32,
+                         precision=hi)
+        stats_ref[0] = jnp.concatenate([mean_c, rstd_c], axis=0)  # [2, C]
+
+
+def _gn_stats2_kernel(x_ref, c2g_ref, stats_ref, s_ref, mean_ref, *, eps,
+                      n_per_group, nk):
+    """Two-pass streaming stats for f32 inputs: grid (n, 2, nk). Phase 0
+    accumulates per-channel sums -> group means; phase 1 re-reads the
+    chunks and accumulates centered squares (no E[x²] cancellation, so the
+    result matches the XLA/torch two-pass contract at f32 precision)."""
+    p = pl.program_id(1)
+    k = pl.program_id(2)
+    hi = jax.lax.Precision.HIGHEST
+
+    @pl.when((p == 0) & (k == 0))
+    def _init():
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # [chunk_hw, C]
+
+    @pl.when(p == 0)
+    def _acc_sum():
+        s_ref[...] += jnp.sum(x, axis=0, keepdims=True)
+
+    @pl.when((p == 0) & (k == nk - 1))
+    def _mean():
+        c2g = c2g_ref[...]
+        mean_g = jnp.dot(s_ref[...], c2g, preferred_element_type=jnp.float32,
+                         precision=hi) / n_per_group
+        mean_ref[...] = jnp.dot(mean_g, c2g.T,
+                                preferred_element_type=jnp.float32,
+                                precision=hi)
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    @pl.when(p == 1)
+    def _acc_var():
+        xc = x - mean_ref[...]
+        s_ref[...] += jnp.sum(xc * xc, axis=0, keepdims=True)
+
+    @pl.when((p == 1) & (k == nk - 1))
+    def _finalize():
+        c2g = c2g_ref[...]
+        var_g = jnp.dot(s_ref[...], c2g, preferred_element_type=jnp.float32,
+                        precision=hi) / n_per_group
+        rstd_g = jax.lax.rsqrt(var_g + eps)
+        rstd_c = jnp.dot(rstd_g, c2g.T, preferred_element_type=jnp.float32,
+                         precision=hi)
+        stats_ref[0] = jnp.concatenate([mean_ref[...], rstd_c], axis=0)
+
+
+def _gn_apply_kernel(x_ref, stats_ref, gamma_ref, beta_ref, o_ref, *, silu):
+    """Normalize + affine (+SiLU) one HW chunk using the precomputed stats."""
+    x = x_ref[0].astype(jnp.float32)  # [chunk_hw, C]
+    st = stats_ref[0]  # [2, C]
+    y = (x - st[0:1]) * st[1:2]
+    y = y * gamma_ref[...].astype(jnp.float32) + beta_ref[...].astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _chunk_hw(hw: int, c: int, itemsize: int) -> int:
+    """Largest power-of-two HW chunk dividing hw with a ≤4 MB input block
+    (double-buffered by the pipeline; f32 temps stay well inside VMEM).
+    Returns 0 if no usable chunk exists (caller falls back to XLA)."""
+    target = (4 * 1024 * 1024) // max(c * itemsize, 1)
+    ch = 1 << max(target.bit_length() - 1, 0)
+    while ch >= 256 and hw % ch:
+        ch //= 2
+    return ch if ch >= 256 and hw % ch == 0 else 0
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "silu", "interpret"))
+def _gn_chunked(x, gamma, beta, *, num_groups, eps, silu, interpret):
+    """Two-kernel chunked GroupNorm for activations too large for the
+    single-pass kernel's VMEM budget (VAE decode at 512²+: the XLA fallback
+    measured 39.7 of the 62.5 ms/img decode — docs/PERF.md round 3).
+    ≤16-bit storage: one-pass E[x²] stats in f32 accumulators (2R+1W, the
+    exact-GN traffic minimum). f32 storage: two-pass streaming stats
+    (3R+1W) — no cancellation, matches the XLA/torch contract."""
+    n, h, w, c = x.shape
+    hw = h * w
+    ch = _chunk_hw(hw, c, jnp.dtype(x.dtype).itemsize)
+    nk = hw // ch
+    xr = x.reshape(n, hw, c)
+    c2g = np.zeros((c, num_groups), dtype=np.float32)
+    group_size = c // num_groups
+    for g in range(num_groups):
+        c2g[g * group_size : (g + 1) * group_size, g] = 1.0
+    c2g = jnp.asarray(c2g)
+
+    one_pass = jnp.dtype(x.dtype).itemsize <= 2
+    if one_pass:
+        stats = pl.pallas_call(
+            functools.partial(
+                _gn_stats_kernel, eps=eps,
+                n_per_group=float(hw * group_size), nk=nk,
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+            grid=(n, nk),
+            in_specs=[
+                pl.BlockSpec((1, ch, c), lambda i, k: (i, k, 0)),
+                pl.BlockSpec((c, num_groups), lambda i, k: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 2, c), lambda i, k: (i, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, c), jnp.float32),
+                pltpu.VMEM((1, c), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xr, c2g)
+    else:
+        stats = pl.pallas_call(
+            functools.partial(
+                _gn_stats2_kernel, eps=eps,
+                n_per_group=float(hw * group_size), nk=nk,
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+            grid=(n, 2, nk),
+            in_specs=[
+                pl.BlockSpec((1, ch, c), lambda i, p, k: (i, k, 0)),
+                pl.BlockSpec((c, num_groups), lambda i, p, k: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 2, c), lambda i, p, k: (i, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, c), jnp.float32),
+                pltpu.VMEM((1, c), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xr, c2g)
+
+    out = pl.pallas_call(
+        functools.partial(_gn_apply_kernel, silu=silu),
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+        grid=(n, nk),
+        in_specs=[
+            pl.BlockSpec((1, ch, c), lambda i, k: (i, k, 0)),
+            pl.BlockSpec((1, 2, c), lambda i, k: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i, k: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, k: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ch, c), lambda i, k: (i, k, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xr, stats, gamma.reshape(1, c), beta.reshape(1, c))
+    return out.reshape(n, h, w, c)
+
+
 def _gn_xla(x, gamma, beta, num_groups, eps, silu):
     n, h, w, c = x.shape
     xf = x.astype(jnp.float32).reshape(n, h * w, num_groups, c // num_groups)
@@ -136,7 +324,9 @@ def _gn_pallas_diff(num_groups, eps, silu, interpret):
 
     @jax.custom_vjp
     def fn(x, gamma, beta):
-        return _gn_pallas(
+        n, h, w, c = x.shape
+        impl = _gn_pallas if h * w * c * 4 <= _VMEM_BUDGET else _gn_chunked
+        return impl(
             x, gamma, beta, num_groups=num_groups, eps=eps, silu=silu,
             interpret=interpret,
         )
@@ -196,7 +386,14 @@ def _dispatch(x, gamma, beta, num_groups, eps, silu, use_pallas, interpret=False
         use_pallas = jax.default_backend() == "tpu"
     n, h, w, c = x.shape
     fits = h * w * c * 4 <= _VMEM_BUDGET
-    if (use_pallas and fits) or interpret:
+    # over-budget activations stream through the chunked kernels (one-pass
+    # E[x²] stats for ≤16-bit storage; exact two-pass streaming for f32).
+    # n>=2 only: with a single sample the pipeline drains at every phase
+    # boundary and XLA wins (measured 106 vs 51 ms at b1, 42 vs 62 at b4
+    # per image — scripts/perf_vae3.py, docs/PERF.md round 3)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    chunkable = n >= 2 and _chunk_hw(h * w, c, itemsize) > 0
+    if (use_pallas and (fits or chunkable)) or interpret:
         return _gn_pallas_diff(num_groups, eps, silu, interpret)(x, gamma, beta)
     return _gn_xla(x, gamma, beta, num_groups, eps, silu)
 

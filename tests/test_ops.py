@@ -201,6 +201,50 @@ class TestGroupNorm:
                 rtol=2 ** -7,
             )
 
+    def test_chunked_f32_two_pass_matches_xla(self):
+        # over-VMEM-budget f32 activations stream through the two-pass
+        # chunked kernels (stats grid (n,2,nk)); must match XLA exactly
+        from complex_prompt_diffusion_tpu.ops import groupnorm as G
+
+        key = jax.random.PRNGKey(7)
+        x = jax.random.normal(key, (2, 64, 64, 512), jnp.float32) * 3 + 1
+        gamma = jax.random.normal(jax.random.PRNGKey(8), (512,), jnp.float32)
+        beta = jax.random.normal(jax.random.PRNGKey(9), (512,), jnp.float32)
+        assert G._chunk_hw(64 * 64, 512, 4) == 2048  # nk=2
+        for silu in (False, True):
+            ref = G._gn_xla(x, gamma, beta, 32, 1e-6, silu)
+            out = G._gn_chunked(
+                x, gamma, beta, num_groups=32, eps=1e-6, silu=silu,
+                interpret=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+            )
+
+    @pytest.mark.slow
+    def test_chunked_bf16_one_pass_matches_xla(self):
+        # bf16 storage takes the one-pass E[x^2] chunked stats (2R+1W);
+        # nk=4 chunks at this shape — residual must stay in bf16 resolution
+        from complex_prompt_diffusion_tpu.ops import groupnorm as G
+
+        key = jax.random.PRNGKey(10)
+        x = (jax.random.normal(key, (2, 128, 128, 512), jnp.float32) * 3 + 1
+             ).astype(jnp.bfloat16)
+        gamma = jax.random.normal(
+            jax.random.PRNGKey(11), (512,), jnp.float32).astype(jnp.bfloat16)
+        beta = jax.random.normal(
+            jax.random.PRNGKey(12), (512,), jnp.float32).astype(jnp.bfloat16)
+        assert G._chunk_hw(128 * 128, 512, 2) == 4096  # nk=4
+        ref = G._gn_xla(x, gamma, beta, 32, 1e-6, True)
+        out = G._gn_chunked(
+            x, gamma, beta, num_groups=32, eps=1e-6, silu=True,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=2 ** -6, rtol=2 ** -7,
+        )
+
     def test_silu_applied(self):
         x, gamma, beta = self._data(n=1)
         a = ops.group_norm(x, gamma, beta, use_pallas=False)
