@@ -42,6 +42,7 @@ class DiffusionModelManager:
         checkpoint_path: Optional[str] = None,
         bundle: Optional[ModelBundle] = None,
         cast_dtype: Optional[str] = None,
+        vae_dtype: Optional[str] = None,
         vocab_path: Optional[str] = None,
     ):
         if bundle is None:
@@ -50,6 +51,8 @@ class DiffusionModelManager:
             bundle = ModelBundle.from_checkpoint(checkpoint_path, vocab_path)
         if cast_dtype:
             bundle = bundle.cast(cast_dtype)
+        if vae_dtype:
+            bundle = bundle.cast_vae(vae_dtype)
         self.bundle = bundle
 
     # config assembly ----------------------------------------------------

@@ -660,8 +660,12 @@ def flash_attention(
     if not (use_pallas or interpret):
         return _xla_attention(q, k, v, scale)
 
-    if block_k is None and kv <= _ONEPASS_MAX_KV:
+    if block_k is None and kv <= _ONEPASS_MAX_KV and d <= 256:
         # One-pass transposed kernel: whole KV row in VMEM, d on sublanes.
+        # d-cap: the whole-KV-resident working set scales with d — the VAE
+        # mid-block's single-head d=512 @ S=4096 attention OOMs VMEM at
+        # bf16 (139 MB; the in-kernel f32 casts double the KV footprint),
+        # and wide-d heads are what the streaming kernel tiles well anyway.
         bq = block_q if block_q is not None else _onepass_block_q(sq, kv)
         return _onepass_attention_diff(scale, bq, interpret)(q, k, v)
 
@@ -747,7 +751,9 @@ def attention(
         return _sharded_attention(q, k, v, num_heads, scale, use_pallas)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and 128 < kv <= _ONEPASS_MAX_KV:
+    if use_pallas and 128 < kv <= _ONEPASS_MAX_KV and d <= 256:
+        # d-cap mirrors mha(): wide heads (VAE mid-block d=512) OOM the
+        # whole-KV-resident kernel's VMEM at bf16; streaming tiles them.
         bq = _onepass_block_q(sq, kv)
         return _onepass_merged_diff(scale, bq, num_heads, False)(q, k, v)
 

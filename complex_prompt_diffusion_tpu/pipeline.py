@@ -151,6 +151,23 @@ class ModelBundle:
             unet_cfg=dataclasses.replace(self.unet_cfg, dtype=dtype),
         )
 
+    def cast_vae(self, dtype: str) -> "ModelBundle":
+        """Cast the VAE to a compute dtype. Weights AND activations: the
+        encode/decode entry points cast inputs to ``vae_cfg.compute_dtype``,
+        so a bf16 cast runs the whole autoencoder at bf16 MXU rate (the
+        decode is ~1/3 of non-scan e2e time at 512², docs/PERF.md round 3).
+        bf16 shares f32's exponent range, so the fp16 SD-VAE overflow
+        problem does not apply; opt-in because decoded pixels shift by up
+        to ~1/255 vs the f32 reference."""
+        params = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.dtype(dtype)), self.vae_params
+        )
+        return dataclasses.replace(
+            self,
+            vae_params=params,
+            vae_cfg=dataclasses.replace(self.vae_cfg, dtype=dtype),
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:

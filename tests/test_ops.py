@@ -143,6 +143,21 @@ class TestFlashAttention:
         ref = ref.transpose(0, 2, 1, 3).reshape(2, 64, 320)
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
 
+    def test_wide_head_routes_to_streaming(self):
+        # VAE mid-block shape: single head, d=512 — above the one-pass
+        # kernel's d<=256 cap (whole-KV VMEM working set OOMs at bf16);
+        # must take the streaming flash kernel and stay exact
+        key = jax.random.PRNGKey(5)
+        kq, kk, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (1, 1, 256, 512))
+        k = jax.random.normal(kk, (1, 1, 256, 512))
+        v = jax.random.normal(kv_, (1, 1, 256, 512))
+        out = ops.flash_attention(q, k, v, interpret=True)
+        ref = _ref_attention(q, k, v, 1 / np.sqrt(512))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
 
 def _ref_group_norm(x, gamma, beta, groups, eps):
     n, h, w, c = x.shape

@@ -240,6 +240,26 @@ class TestManager:
         )
         assert imgs.shape[0] == 1
 
+    def test_vae_dtype_cast(self, bundle):
+        # opt-in bf16 autoencoder (serving: decode at bf16 MXU rate,
+        # docs/PERF.md round 3) — same latents must decode to nearly the
+        # same image as the f32 reference
+        import jax.numpy as jnp
+
+        from complex_prompt_diffusion_tpu.manager import DiffusionModelManager
+        from complex_prompt_diffusion_tpu.pipeline import decode_latents
+
+        mgr = DiffusionModelManager(bundle=bundle, vae_dtype="bfloat16")
+        vb = mgr.bundle
+        assert vb.vae_cfg.compute_dtype == jnp.bfloat16
+        assert vb.vae_params["decoder"]["conv_in"]["kernel"].dtype == jnp.bfloat16
+        lat = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 4, 4), jnp.float32)
+        img_b = decode_latents(vb, lat).astype(np.int32)
+        img_f = decode_latents(bundle, lat).astype(np.int32)
+        assert img_b.shape == img_f.shape and img_b.dtype == img_f.dtype
+        # u8 images: bf16 rounding may move pixels by a few levels
+        assert np.abs(img_b - img_f).max() <= 8
+
     def test_prompt_json(self, bundle):
         from complex_prompt_diffusion_tpu.manager import DiffusionModelManager
 
