@@ -42,6 +42,8 @@ def bench_e2e(args):
     bundle = ModelBundle.random("sd15" if on_tpu and not args.small else "tiny")
     if on_tpu:
         bundle = bundle.cast("bfloat16")
+    if getattr(args, "vae_bf16", False):
+        bundle = bundle.cast_vae("bfloat16")
     size = 512 if on_tpu and not args.small else 32
     steps = args.steps if on_tpu and not args.small else 2
     cfg = RenderConfig(
@@ -86,13 +88,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=50)
-    # batch 4 is this chip's measured throughput sweet spot (b1: 0.66,
-    # b4: 1.02, b8: 0.96 img/s)
+    # batch 4 is this chip's measured throughput sweet spot (b1: 0.79,
+    # b4: 1.33, b8: ~1.29 img/s — docs/PERF.md round-3 batch tables)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
         "--e2e", action="store_true",
         help="time tokenize+CLIP encode+scan+VAE decode (honest end-to-end)",
+    )
+    ap.add_argument(
+        "--vae-bf16", dest="vae_bf16", action="store_true",
+        help="opt-in bf16 autoencoder for the e2e decode (docs/PERF.md)",
     )
     args = ap.parse_args()
 
