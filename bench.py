@@ -103,9 +103,14 @@ def main():
     args = ap.parse_args()
 
     if args.e2e:
+        # both rows: the scan-only headline, then the honest e2e number
+        bench_scan(args)
         bench_e2e(args)
         return
+    bench_scan(args)
 
+
+def bench_scan(args):
     from complex_prompt_diffusion_tpu import models as M
     from complex_prompt_diffusion_tpu import samplers as SA
     from complex_prompt_diffusion_tpu import schedules as S
