@@ -18,19 +18,31 @@ from complex_prompt_diffusion_tpu.ops import group_norm, group_norm_silu
 from complex_prompt_diffusion_tpu.ops.conv import conv3x3, conv3x3_supported
 
 
-# Opt-in Pallas conv flag, read ONCE at import time: conv2d dispatch happens
-# at trace time inside jitted model functions and the jit cache is keyed only
+# Pallas conv flag, read ONCE at import time: conv2d dispatch happens at
+# trace time inside jitted model functions and the jit cache is keyed only
 # on shapes, so a per-call env read would silently go stale after the first
 # trace. Import-time capture makes the semantics explicit: set the env var
 # before importing the package (tests that need both paths reload or call
 # ops.conv.conv3x3 directly).
+#
+# Values: "auto" (default) routes stride-1 3x3 convs on 16x16/32x32 planes
+# to the Pallas shifted-matmul kernel at UNet batch <= 4, where it beats
+# XLA's conv 1.15-1.38x (scripts/perf_conv3.py, min-of-3 whole-loop timing:
+# B2 1.21x/1.30x, B4 1.15x/1.38x at 32^2/16^2; loses at 8^2 at every batch
+# and everywhere at B8). "1" forces the kernel wherever conv3x3_supported
+# admits it; "0" disables it.
 import os as _os
 
-_PALLAS_CONV = _os.environ.get("CPD_TPU_PALLAS_CONV", "0") == "1"
+_PALLAS_CONV = _os.environ.get("CPD_TPU_PALLAS_CONV", "auto")
 
 
-def _pallas_conv_enabled() -> bool:
-    return _PALLAS_CONV
+def _pallas_conv_wanted(x_shape) -> bool:
+    if _PALLAS_CONV == "1":
+        return True
+    if _PALLAS_CONV == "auto":
+        b, h, w, _ = x_shape
+        return b <= 4 and 256 <= h * w <= 1024
+    return False
 
 __all__ = [
     "init_conv",
@@ -94,15 +106,15 @@ def conv2d(params, x, stride: int = 1, padding=None):
     reproduces torch Conv2d(padding=k//2) for odd k at any stride — explicit
     padding, NOT XLA "SAME" (which misaligns at stride 2).
 
-    Opt-in (CPD_TPU_PALLAS_CONV=1): route stride-1 3x3 'same' convs to the
-    Pallas shifted-matmul kernel (ops/conv.py). Measured SLOWER than XLA's
-    conv at the SD level shapes (scripts/perf_conv3.py: 0.72-0.93x — XLA's
-    conv already runs at 59-73% SOL at the bench batch), so XLA is the
-    default; the kernel is kept as tested infrastructure."""
+    Stride-1 3x3 'same' convs route to the Pallas shifted-matmul kernel
+    (ops/conv.py) where it measures faster than XLA's conv: small batches
+    (UNet B<=4) on 16^2/32^2 planes (see _pallas_conv_wanted). At the
+    throughput batch (B=8) XLA's conv runs at 59-73% SOL — effectively the
+    chip's matmul ceiling — and keeps every site (perf_conv3.py)."""
     dtype = x.dtype
     k = params["kernel"].shape[0]
     if (
-        _pallas_conv_enabled()
+        _pallas_conv_wanted(x.shape)
         and jax.default_backend() == "tpu"
         and conv3x3_supported(
             x.shape, params["kernel"].shape, stride, padding,

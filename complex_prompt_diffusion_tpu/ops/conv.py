@@ -81,19 +81,10 @@ def conv3x3_supported(
     b, h, w, c = x_shape
     if w % 8 != 0 or h < 8 or w < 8:
         return False
-    # VMEM budget: padded input + one f32 acc block + weights chunk
     co_full = k_shape[3]
-    xp_bytes = (h + 4) * w * c * itemsize
-    if xp_bytes > 8 * 1024 * 1024:
+    if (h + 4) * w * c * itemsize > 8 * 1024 * 1024:
         return False
-    picked = _pick_blocks(h, w, c, co_full, itemsize)
-    if picked is None:
-        return False
-    hb, co = picked
-    chunk_bytes = 9 * c * co * itemsize + hb * w * co * 4
-    if xp_bytes + chunk_bytes > 14 * 1024 * 1024:
-        return False
-    return True
+    return _pick_blocks(h, w, c, co_full, itemsize) is not None
 
 
 def _pick_blocks(H: int, W: int, C: int, Co: int, itemsize: int = 2):
@@ -103,11 +94,23 @@ def _pick_blocks(H: int, W: int, C: int, Co: int, itemsize: int = 2):
     Hb = max(1, min(H, 1024 // W))
     while H % Hb != 0:
         Hb -= 1
-    # co chunk: bound weights (9*C*co*itemsize) + acc (Hb*W*co*4) to ~6 MB.
+    # co chunk: bound weights (9*C*co*itemsize) + acc (Hb*W*co*4) to ~6 MB,
+    # AND bound the whole-kernel footprint (double-buffered padded input +
+    # double-buffered chunk) to 12 MB of the 16 MB scoped-VMEM limit. The
+    # 4 MB headroom is for allocations the guard cannot see: XLA may park
+    # the conv *output* in scoped VMEM next to the kernel stack (measured:
+    # 32x32x1280->640 at est. 12.8 MB OOMed at 16.13 MB in-model; every
+    # config admitted by the 12 MB rule compiles and runs in-model).
     # Mosaic requires the blocked last dim to be a multiple of 128 (or the
     # full extent), so candidates are 128-multiples dividing Co, else full.
+    xp = (H + 4) * W * C * itemsize
+
     def fits(co):
-        return (9 * C * co * itemsize + Hb * W * co * 4) <= 6 * 1024 * 1024
+        chunk = 9 * C * co * itemsize + Hb * W * co * 4
+        return (
+            chunk <= 6 * 1024 * 1024
+            and 2 * (xp + chunk) <= 12 * 1024 * 1024
+        )
 
     candidates = [Co] + [
         c for c in (640, 512, 384, 256, 128)

@@ -629,7 +629,9 @@ def sample_latents(
     # (otherwise skip-connection shapes mismatch mid-network)
     div = 2 ** (len(bundle.unet_cfg.channel_mult) - 1)
     lh, lw = cfg.latent_shape[0], cfg.latent_shape[1]
-    if lh % div or lw % div:
+    # pixel % 8 must be checked too: latent_shape floor-divides, so e.g.
+    # W=33 would silently render at 32 instead of failing loudly
+    if lh % div or lw % div or cfg.height % 8 or cfg.width % 8:
         raise ValueError(
             f"width/height must give latents divisible by {div} "
             f"(got latent {lh}x{lw} from {cfg.height}x{cfg.width}); "

@@ -10,12 +10,17 @@ REPS = 30
 ITERS = 10
 
 def timeit(fn, *args):
+    # min-of-3 timed dispatches; at small B the per-dispatch 25-30 ms
+    # overhead floor otherwise swamps the ~30-60 ms timed region
     out = fn(*args)
     float(jnp.float32(out.mean()))
-    args = tuple(a * 1.0001 for a in args)
-    t0 = time.perf_counter()
-    float(jnp.float32(fn(*args).mean()))
-    return (time.perf_counter() - t0) / (ITERS * REPS)
+    best = float("inf")
+    for r in range(3):
+        a2 = tuple(a * (1.0 + 1e-4 * (r + 1)) for a in args)
+        t0 = time.perf_counter()
+        float(jnp.float32(fn(*a2).mean()))
+        best = min(best, time.perf_counter() - t0)
+    return best / (ITERS * REPS)
 
 def case(b, h, w, cin, cout):
     x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, cin), jnp.bfloat16)
@@ -51,7 +56,9 @@ def case(b, h, w, cin, cout):
               f"xla {dt_x*1e3:6.3f} ms {fl/dt_x/PEAK*100:5.1f}% | speedup {dt_x/dt_p:5.2f}x",
               flush=True)
 
-B = 8
+import sys
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+ITERS = 10 * max(1, 8 // B)  # keep the timed region well above dispatch noise
 case(B, 64, 64, 320, 320)
 case(B, 32, 32, 640, 640)
 case(B, 16, 16, 1280, 1280)

@@ -470,6 +470,48 @@ class TestConv3x3:
         assert conv3x3_supported(shape, k, 1, None, itemsize=2)
         assert not conv3x3_supported(shape, k, 1, None, itemsize=4)
 
+    def test_scoped_vmem_oom_config_rejected(self):
+        # measured in-model OOM (TPU scoped VMEM, 16.13 MB vs the 16 MB
+        # limit): 32x32 planes with C=1280 — the whole-kernel budget rule
+        # (2*(xp+chunk) <= 12 MB) must reject them so the dispatch falls
+        # back to XLA instead of failing to compile
+        from complex_prompt_diffusion_tpu.ops import conv as C
+
+        assert not C.conv3x3_supported((2, 32, 32, 1280), (3, 3, 1280, 640), 1, None, 2)
+        assert not C.conv3x3_supported((2, 32, 32, 1280), (3, 3, 1280, 1280), 1, None, 2)
+        # ...while the measured-winning level shapes stay admitted
+        for h, c in [(64, 320), (32, 640), (16, 1280), (8, 1280)]:
+            assert C.conv3x3_supported((2, h, h, c), (3, 3, c, c), 1, None, 2)
+        # decoder skip-concat sites at 16x16 admitted with a small chunk
+        assert C._pick_blocks(16, 16, 1920, 1280, 2) == (16, 128)
+
+    def test_auto_dispatch_gate(self):
+        # default "auto": Pallas conv only at UNet batch <= 4 on 16^2/32^2
+        # planes (the measured-win regime, scripts/perf_conv3.py)
+        from complex_prompt_diffusion_tpu.models.layers import (
+            _pallas_conv_wanted,
+        )
+
+        assert _pallas_conv_wanted((2, 32, 32, 640))
+        assert _pallas_conv_wanted((4, 16, 16, 1280))
+        assert not _pallas_conv_wanted((8, 16, 16, 1280))  # throughput batch
+        assert not _pallas_conv_wanted((2, 64, 64, 320))  # marginal + VMEM risk
+        assert not _pallas_conv_wanted((2, 8, 8, 1280))  # measured loss
+
+    def test_decoder_concat_site_parity(self):
+        # non-square (skip-concat) channel count through the chunked-co
+        # path, interpret mode
+        from complex_prompt_diffusion_tpu.ops import conv as C
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, 1920)) * 0.1, jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 1920, 1280)) * 0.01, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((1280,)) * 0.1, jnp.float32)
+        out = C.conv3x3(x, k, bias, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(C._xla_conv(x, k, bias)), atol=2e-4
+        )
+
     def test_supported_guard(self):
         from complex_prompt_diffusion_tpu.ops.conv import conv3x3_supported
 

@@ -40,6 +40,15 @@ class TestTxt2Img:
         assert lat.shape == (1, 4, 4, 4)
         assert np.isfinite(np.asarray(lat)).all()
 
+    def test_non_multiple_of_8_rejected(self, bundle):
+        # latent_shape floor-divides by 8, so W=33 used to slip past the
+        # latent divisibility check and silently render at 32 (found via a
+        # verification probe)
+        with pytest.raises(ValueError, match="multiples of"):
+            txt2img(bundle, "a cat", cfg=_cfg(width=33), decode=False)
+        with pytest.raises(ValueError, match="multiples of"):
+            txt2img(bundle, "a cat", cfg=_cfg(height=20), decode=False)
+
     def test_deterministic_per_seed(self, bundle):
         _, a = txt2img(bundle, "a cat", cfg=_cfg(seed=5), decode=False)
         _, b = txt2img(bundle, "a cat", cfg=_cfg(seed=5), decode=False)
