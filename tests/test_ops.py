@@ -522,3 +522,93 @@ class TestConv3x3:
         assert not conv3x3_supported((8, 64, 66, 320), (3, 3, 320, 320), 1, None)
         # VAE-decode-scale activations exceed the VMEM budget: fall back
         assert not conv3x3_supported((1, 512, 512, 128), (3, 3, 128, 128), 1, None)
+
+
+class TestWinograd3x3:
+    """ops/winograd.py fused Winograd F(2x2,3x3) conv vs XLA conv
+    (interpret mode). Measured negative at every SD level shape on the
+    real chip (docs/PERF.md round 3, scripts/perf_wino2.py) — kept as
+    tested opt-in infrastructure, never auto-dispatched."""
+
+    @pytest.mark.parametrize(
+        "b,h,w,ci,co",
+        [
+            (1, 8, 8, 128, 128),    # single co chunk, smallest plane
+            (2, 16, 16, 256, 128),  # batch grid, ci != co
+            (1, 32, 32, 128, 256),  # multi-co-chunk revolve
+        ],
+    )
+    def test_matches_xla(self, b, h, w, ci, co):
+        from complex_prompt_diffusion_tpu.ops import winograd as W
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((b, h, w, ci)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+        out = W.wino3x3(x, k, bias, True)
+        ref = W._xla_conv(x, k, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_gradient_matches_xla(self):
+        from complex_prompt_diffusion_tpu.ops import winograd as W
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 128)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+        g = jax.grad(
+            lambda a, kk, bb: jnp.sum(W.wino3x3(a, kk, bb, True) ** 2),
+            argnums=(0, 1, 2),
+        )(x, k, bias)
+        gr = jax.grad(
+            lambda a, kk, bb: jnp.sum(W._xla_conv(a, kk, bb) ** 2),
+            argnums=(0, 1, 2),
+        )(x, k, bias)
+        for got, ref in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+    def test_supported_guard_and_fallback(self):
+        from complex_prompt_diffusion_tpu.ops import winograd as W
+
+        # 32^2 x 640 and 8^2 x 1280 fit the VMEM budget
+        assert W.wino3x3_supported((2, 32, 32, 640), (3, 3, 640, 640), 1, 1)
+        assert W.wino3x3_supported((2, 8, 8, 1280), (3, 3, 1280, 1280), 1, 1)
+        # 64^2 x 320 (no 128-multiple co divisor) and 16^2 x 1280 (double-
+        # buffered U chunk) exceed it; odd planes and strides rejected
+        assert not W.wino3x3_supported((2, 64, 64, 320), (3, 3, 320, 320), 1, 1)
+        assert not W.wino3x3_supported((2, 16, 16, 1280), (3, 3, 1280, 1280), 1, 1)
+        assert not W.wino3x3_supported((1, 9, 8, 128), (3, 3, 128, 128), 1, 1)
+        assert not W.wino3x3_supported((1, 8, 8, 128), (3, 3, 128, 128), 2, 1)
+        # direct call on an unsupported shape still computes via XLA fallback
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 8, 8)) * 0.1, jnp.float32)
+        bias = jnp.zeros((8,), jnp.float32)
+        out = W.wino3x3(x, k, bias, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(W._xla_conv(x, k, bias)), atol=1e-4
+        )
+
+    def test_weight_transform(self):
+        # U = G g G^T reproduces the conv on a delta input: conv(delta) at
+        # the center equals the kernel sum row — cross-check the transform
+        # against a direct numpy Winograd evaluation of one 4x4 tile
+        from complex_prompt_diffusion_tpu.ops import winograd as W
+
+        rng = np.random.default_rng(6)
+        g = jnp.asarray(rng.standard_normal((3, 3, 1, 1)), jnp.float32)
+        u = np.asarray(W.winograd_weights(g)).reshape(4, 4)
+        d = rng.standard_normal((4, 4)).astype(np.float32)
+        BT = np.array(
+            [[1, 0, -1, 0], [0, 1, 1, 0], [0, -1, 1, 0], [0, 1, 0, -1]],
+            np.float32,
+        )
+        AT = np.array([[1, 1, 1, 0], [0, 1, -1, -1]], np.float32)
+        v = BT @ d @ BT.T
+        y = AT @ (u * v) @ AT.T  # [2, 2] Winograd tile output
+        ref = np.zeros((2, 2), np.float32)
+        gk = np.asarray(g)[..., 0, 0]
+        for a in range(2):
+            for b in range(2):
+                ref[a, b] = float((d[a : a + 3, b : b + 3] * gk).sum())
+        np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
