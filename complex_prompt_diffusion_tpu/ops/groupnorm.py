@@ -32,6 +32,29 @@ _VMEM_BUDGET = 16 * 1024 * 1024
 # import like CPD_TPU_PALLAS_CONV — trace-time semantics documented there).
 _ONE_PASS = os.environ.get("CPD_TPU_GN_TWO_PASS", "0") != "1"
 
+# Implementation override for A/B runs (read once at import, trace-time
+# semantics): "auto" (shape/batch dispatch), "pallas", "xla_mm"
+# (matmul-stats XLA, no lane reshape), "xla" (reshape-based reference).
+_GN_IMPL = os.environ.get("CPD_TPU_GN_IMPL", "auto")
+
+
+def _use_xla_mm(x, interpret: bool) -> bool:
+    """auto routes <=16-bit inputs to the matmul-stats XLA GroupNorm: the
+    bench A/B measured it 4.5 ms/step faster than the one-pass Pallas
+    kernel at batch 4 (60.2 -> 55.6-55.8 ms — the Pallas copy pipeline
+    streams at only ~180 GB/s vs XLA's ~424 GB/s fused elementwise rate
+    (scripts/perf_gn7.py), a floor no kernel variant or buffering mode
+    lifts, while the XLA form fuses into the surrounding graph with no
+    lane reshape; docs/PERF.md round 3). One-pass E[x^2] stats in f32
+    accumulators match the Pallas kernel's <=16-bit contract; f32 inputs
+    keep the exact two-pass paths. interpret mode keeps the Pallas
+    kernels under test."""
+    if interpret:
+        return False
+    if _GN_IMPL == "xla_mm":
+        return True
+    return _GN_IMPL == "auto" and jnp.dtype(x.dtype).itemsize <= 2
+
 
 def _gn_kernel(
     x_ref, gamma_ref, beta_ref, c2g_ref, o_ref, *, eps, n_per_group, silu,
@@ -304,6 +327,68 @@ def _gn_chunked(x, gamma, beta, *, num_groups, eps, silu, interpret):
     return out.reshape(n, h, w, c)
 
 
+@functools.lru_cache(maxsize=32)
+def _c2g_np(c: int, num_groups: int):
+    c2g = np.zeros((c, num_groups), dtype=np.float32)
+    gs = c // num_groups
+    for g in range(num_groups):
+        c2g[g * gs : (g + 1) * gs, g] = 1.0
+    return c2g
+
+
+def _gn_xla_mm(x, gamma, beta, num_groups, eps, silu):
+    """XLA GroupNorm without the lane-splitting C->(G,C/G) reshape.
+
+    Group statistics go through per-channel reductions (one fused read
+    pass computes sum and sum-of-squares) and a tiny one-hot [C,G] matmul,
+    so XLA never relayouts the lane dimension; the normalize/affine/SiLU
+    pass is a single fused elementwise read+write with [N,1,1,C]
+    broadcasts. 2R+1W traffic, no per-site kernel-launch overhead —
+    measured faster in-context than both the reshape-based _gn_xla and
+    the one-pass Pallas kernel at the bench batch (docs/PERF.md round 3)."""
+    n, h, w, c = x.shape
+    xr = x.reshape(n, h * w, c)
+    c2g = jnp.asarray(_c2g_np(c, num_groups))
+    n_per_group = float(h * w * (c // num_groups))
+    s1 = jnp.sum(xr, axis=1, dtype=jnp.float32)  # [N, C]
+    s2 = jnp.sum(jnp.square(xr.astype(jnp.float32)), axis=1)
+    mean_g = jnp.dot(s1, c2g, preferred_element_type=jnp.float32) / n_per_group
+    ex2_g = jnp.dot(s2, c2g, preferred_element_type=jnp.float32) / n_per_group
+    var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, c2g.T)[:, None, None, :]  # [N,1,1,C]
+    rstd_c = jnp.dot(rstd_g, c2g.T)[:, None, None, :]
+    y = (x.astype(jnp.float32) - mean_c) * rstd_c
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+def _gn_xla_mm2(x, gamma, beta, num_groups, eps, silu):
+    """Two-pass (centered-variance) variant of _gn_xla_mm for f32 inputs:
+    no E[x^2] cancellation, same no-lane-reshape structure. 3R+1W fused
+    XLA traffic — an A/B candidate against the chunked Pallas kernels on
+    the f32 VAE-decode sites."""
+    n, h, w, c = x.shape
+    xr = x.reshape(n, h * w, c)
+    c2g = jnp.asarray(_c2g_np(c, num_groups))
+    n_per_group = float(h * w * (c // num_groups))
+    s1 = jnp.sum(xr, axis=1, dtype=jnp.float32)  # [N, C]
+    mean_g = jnp.dot(s1, c2g, preferred_element_type=jnp.float32) / n_per_group
+    mean_c = jnp.dot(mean_g, c2g.T)  # [N, C]
+    xc = xr.astype(jnp.float32) - mean_c[:, None, :]
+    s2 = jnp.sum(jnp.square(xc), axis=1)
+    var_g = jnp.dot(s2, c2g, preferred_element_type=jnp.float32) / n_per_group
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    rstd_c = jnp.dot(rstd_g, c2g.T)[:, None, None, :]
+    y = (x.astype(jnp.float32) - mean_c[:, None, None, :]) * rstd_c
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
 def _gn_xla(x, gamma, beta, num_groups, eps, silu):
     n, h, w, c = x.shape
     xf = x.astype(jnp.float32).reshape(n, h * w, num_groups, c // num_groups)
@@ -381,7 +466,15 @@ def _dispatch(x, gamma, beta, num_groups, eps, silu, use_pallas, interpret=False
     from complex_prompt_diffusion_tpu.ops.sharding import ShardCtx
 
     if isinstance(use_pallas, ShardCtx):
+        if _use_xla_mm(x, interpret):
+            # pure-XLA impl: GSPMD shards the batch-parallel stats natively,
+            # no shard_map wrapper needed
+            return _gn_xla_mm(x, gamma, beta, num_groups, eps, silu)
         return _sharded_dispatch(x, gamma, beta, num_groups, eps, silu, use_pallas)
+    if _use_xla_mm(x, interpret):
+        return _gn_xla_mm(x, gamma, beta, num_groups, eps, silu)
+    if _GN_IMPL == "xla" and not interpret:
+        return _gn_xla(x, gamma, beta, num_groups, eps, silu)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n, h, w, c = x.shape

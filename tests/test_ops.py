@@ -260,6 +260,44 @@ class TestGroupNorm:
             atol=2 ** -6, rtol=2 ** -7,
         )
 
+    def test_xla_mm_matches_xla(self):
+        # matmul-stats XLA GroupNorm (the TPU default for <=16-bit inputs,
+        # docs/PERF.md round 3) must match the reshape-based reference
+        from complex_prompt_diffusion_tpu.ops import groupnorm as G
+
+        for dt, atol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2 ** -6)):
+            x = (jax.random.normal(jax.random.PRNGKey(13), (2, 16, 16, 320),
+                                   jnp.float32) * 2 + 0.5).astype(dt)
+            gamma = jax.random.normal(jax.random.PRNGKey(14), (320,), jnp.float32)
+            beta = jax.random.normal(jax.random.PRNGKey(15), (320,), jnp.float32)
+            for silu in (False, True):
+                ref = G._gn_xla(x, gamma, beta, 32, 1e-6, silu)
+                for impl in (G._gn_xla_mm, G._gn_xla_mm2):
+                    out = impl(x, gamma, beta, 32, 1e-6, silu)
+                    np.testing.assert_allclose(
+                        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                        atol=atol, rtol=2 ** -7,
+                    )
+
+    def test_xla_mm_dispatch_and_grad(self):
+        from complex_prompt_diffusion_tpu.ops import groupnorm as G
+
+        xb = jax.random.normal(jax.random.PRNGKey(16), (1, 8, 8, 64), jnp.bfloat16)
+        xf = xb.astype(jnp.float32)
+        # auto: bf16 -> xla_mm, f32 -> legacy; interpret keeps Pallas
+        assert G._use_xla_mm(xb, interpret=False)
+        assert not G._use_xla_mm(xf, interpret=False)
+        assert not G._use_xla_mm(xb, interpret=True)
+        # natively differentiable: grads match the reshape-based XLA form
+        gamma = jnp.ones((64,), jnp.float32)
+        beta = jnp.zeros((64,), jnp.float32)
+        f_mm = lambda a: jnp.sum(G._gn_xla_mm(a, gamma, beta, 32, 1e-5, True))
+        f_ref = lambda a: jnp.sum(G._gn_xla(a, gamma, beta, 32, 1e-5, True))
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(f_mm)(xf)), np.asarray(jax.grad(f_ref)(xf)),
+            atol=1e-4, rtol=1e-4,
+        )
+
     def test_silu_applied(self):
         x, gamma, beta = self._data(n=1)
         a = ops.group_norm(x, gamma, beta, use_pallas=False)
