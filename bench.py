@@ -93,6 +93,10 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
+        "--unroll", type=int, default=1,
+        help="lax.scan unroll factor for the sampling loop (A/B knob)",
+    )
+    ap.add_argument(
         "--e2e", action="store_true",
         help="time tokenize+CLIP encode+scan+VAE decode (honest end-to-end)",
     )
@@ -148,13 +152,22 @@ def bench_scan(args):
 
     # params threaded as a jit ARG — closing over them would embed 1.7GB of
     # weight constants into the XLA module and blow up compile time
+    from complex_prompt_diffusion_tpu.guidance.cfg import stacked_context
+
     @jax.jit
     def run(p, x_T, k):
+        # cross-attention k/v are loop-invariant: hoist them out of the scan
+        kv = M.precompute_cross_kv(
+            unet_cfg, p, stacked_context(spec, x_T.shape[0])
+        )
+
         def unet_eps(x, t, ctx):
-            return M.unet_apply(unet_cfg, p, x, t, ctx)
+            return M.unet_apply(unet_cfg, p, x, t, ctx, cross_kv=kv)
 
         eps_fn, _ = make_denoiser(unet_eps, spec, gcfg=gcfg)
-        x0, _ = SA.sample_ddim(eps_fn, x_T, itables, uc_scales, key=k)
+        x0, _ = SA.sample_ddim(
+            eps_fn, x_T, itables, uc_scales, key=k, unroll=args.unroll
+        )
         return x0
 
     shape = (args.batch, h, w, 4)

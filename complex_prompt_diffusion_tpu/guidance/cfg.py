@@ -157,6 +157,15 @@ def make_uc_blur_schedule(gcfg: GuidanceConfig, total_steps: int) -> np.ndarray:
     return t_idx > (total_steps - rounds)
 
 
+def stacked_context(spec: "GuidanceSpec", batch_size: int) -> jax.Array:
+    """The [(1+K)*B, L, D] factor-major context the batched UNet call sees
+    (uncond first, then factors; ddim.py:297-304). Exposed so callers can
+    precompute loop-invariant cross-attention k/v from it
+    (models.precompute_cross_kv) outside the sampling scan."""
+    ctx = jnp.concatenate([spec.uncond[None], spec.factors], axis=0)  # [1+K, L, D]
+    return jnp.repeat(ctx, batch_size, axis=0)  # factor-major
+
+
 def _batched_inputs(x, t, spec, depth_mask):
     """Tile x/t and stack contexts for the one-call factor batch
     (ddim.py:297-304)."""
@@ -170,9 +179,7 @@ def _batched_inputs(x, t, spec, depth_mask):
     x_in = jnp.tile(x, (1 + k, 1, 1, 1))
     t_b = jnp.broadcast_to(jnp.asarray(t), (b,))
     t_in = jnp.tile(t_b, (1 + k,))
-    ctx = jnp.concatenate([spec.uncond[None], spec.factors], axis=0)  # [1+K, L, D]
-    ctx_in = jnp.repeat(ctx, b, axis=0)  # factor-major
-    return x_in, t_in, ctx_in
+    return x_in, t_in, stacked_context(spec, b)
 
 
 def _split_and_sum(out, spec, b, gcfg, uc_blur_on):

@@ -10,7 +10,9 @@ Reference parity targets:
   * CLIP: /root/reference/cpd/models/embedder.py:794/840 (Frozen(Open)CLIPEmbedder)
 """
 
-from complex_prompt_diffusion_tpu.models.unet import UNetConfig, init_unet, unet_apply
+from complex_prompt_diffusion_tpu.models.unet import (
+    UNetConfig, init_unet, precompute_cross_kv, unet_apply,
+)
 from complex_prompt_diffusion_tpu.models.vae import (
     VAEConfig,
     init_vae,
@@ -33,6 +35,7 @@ __all__ = [
     "UNetConfig",
     "init_unet",
     "unet_apply",
+    "precompute_cross_kv",
     "VAEConfig",
     "init_vae",
     "vae_encode",

@@ -29,6 +29,7 @@ from complex_prompt_diffusion_tpu.guidance import (
 from complex_prompt_diffusion_tpu.guidance.cfg import (
     make_uc_blur_schedule,
     make_uc_scale_schedule,
+    stacked_context,
 )
 from complex_prompt_diffusion_tpu.prompts.tokenizer import get_tokenizer
 
@@ -296,7 +297,7 @@ def _build_sampler_fn(
             "attention-saliency guidance (skip tensors span the full canvas)"
         )
 
-    def _make_unet_eps(unet_params):
+    def _make_unet_eps(unet_params, cross_kv=None):
         """Raw UNet call, optionally wrapped with fold/unfold tiling
         (ddpm.py:995-1077) for large canvases. On a sharded bundle
         (ShardCtx in unet_cfg.use_pallas) the TILES shard over the mesh's
@@ -325,7 +326,9 @@ def _build_sampler_fn(
                 )
 
         def unet_eps(x, t, ctx_):
-            return M.unet_apply(unet_cfg, unet_params, x, t, ctx_)
+            return M.unet_apply(
+                unet_cfg, unet_params, x, t, ctx_, cross_kv=cross_kv
+            )
 
         if cfg.unet_tile:
             from complex_prompt_diffusion_tpu.models.tiled import make_tiled_unet
@@ -339,6 +342,25 @@ def _build_sampler_fn(
                 axis=tile_axis,
             )
         return unet_eps
+
+    def _hoisted_kv(unet_params, spec, batch: int):
+        """Cross-attention k/v are loop-invariant across the sampling scan
+        (the prompt context never changes step to step), so compute them
+        ONCE per render outside the scan (models.precompute_cross_kv) —
+        removes 16 sites x k/v projections + relayouts from every step.
+        Disabled for paths that call the UNet with a different context or
+        batch mid-step: tiled UNet (tile-stacked batch), attention-saliency
+        guidance (uncond-only re-evaluation), CLIP guidance (factor-only
+        re-evaluation under grad)."""
+        if (
+            cfg.unet_tile
+            or cfg.guidance.attn_guide
+            or clip_guidance is not None
+        ):
+            return None
+        return M.precompute_cross_kv(
+            bundle.unet_cfg, unet_params, stacked_context(spec, batch)
+        )
 
     if family == "t":
         itables = S.make_inference_tables(
@@ -369,7 +391,9 @@ def _build_sampler_fn(
             return a * out + b * x[..., : out.shape[-1]]
 
         def run(unet_params, spec, x_T, key, noises, depth_mask, guide_args):
-            raw_unet = _make_unet_eps(unet_params)
+            raw_unet = _make_unet_eps(
+                unet_params, _hoisted_kv(unet_params, spec, x_T.shape[0])
+            )
 
             def unet_eps(x, t, ctx):
                 return _to_eps(raw_unet(x, t, ctx), x, t)
@@ -527,7 +551,9 @@ def _build_sampler_fn(
         uc = jnp.asarray(cfg.guidance.guidance_scale, jnp.float32)
 
         def run(unet_params, spec, x_T, key, noises, depth_mask, guide_args):
-            unet_eps = _make_unet_eps(unet_params)
+            unet_eps = _make_unet_eps(
+                unet_params, _hoisted_kv(unet_params, spec, x_T.shape[0])
+            )
 
             eps_fn, _ = make_denoiser(
                 unet_eps, spec, gcfg=cfg.guidance, depth_mask=depth_mask
@@ -545,7 +571,9 @@ def _build_sampler_fn(
         uc_tr = jnp.asarray(cfg.guidance.guidance_scale, jnp.float32)
 
         def run(unet_params, spec, x_T, key, noises, depth_mask, guide_args):
-            unet_eps = _make_unet_eps(unet_params)
+            unet_eps = _make_unet_eps(
+                unet_params, _hoisted_kv(unet_params, spec, x_T.shape[0])
+            )
 
             eps_fn, _ = make_denoiser(
                 unet_eps, spec, gcfg=cfg.guidance, depth_mask=depth_mask
@@ -576,7 +604,9 @@ def _build_sampler_fn(
         kw["eta"] = cfg.eta if cfg.eta else 1.0
 
     def run(unet_params, spec, x, key, noises, depth_mask, guide_args):
-        unet_eps = _make_unet_eps(unet_params)
+        unet_eps = _make_unet_eps(
+            unet_params, _hoisted_kv(unet_params, spec, x.shape[0])
+        )
 
         _, den_fn = make_denoiser(
             unet_eps, spec, gcfg=cfg.guidance,

@@ -100,12 +100,15 @@ def sample_ddim(
     clip_sample: Optional[str] = None,
     clip_sample_thresh: float = 90.0,
     t_start: Optional[int] = None,
+    unroll: int = 1,
 ):
     """Full reverse chain as one scan.
 
     eps_fn(x, t, uc_scale, uc_blur_on) -> eps  (see guidance.make_denoiser).
     ``t_start``: run only the first ``t_start`` timesteps of the table
     (img2img decode path, ddim.py:95-104 / :684-737). Static.
+    ``unroll``: lax.scan unroll factor (trades compile time/code size for
+    per-iteration loop overhead; the default keeps the compile fast).
 
     Returns (x_0, pred_x0_trajectory [S_run, ...]).
     """
@@ -129,7 +132,7 @@ def sample_ddim(
         )
         return x_prev, pred_x0
 
-    x0, traj = jax.lax.scan(body, x_T, jnp.arange(s_run))
+    x0, traj = jax.lax.scan(body, x_T, jnp.arange(s_run), unroll=unroll)
     return x0, traj
 
 

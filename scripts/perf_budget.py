@@ -199,6 +199,30 @@ def _patch(variant: str):
         set_conv(_conv_filter(lambda k, xs, hh=hh: k[0] == 3 and xs[1] == hh))
     elif variant == "no_conv1":
         set_conv(_conv_filter(lambda k, xs: k[0] == 1))
+    elif variant == "no_temb":
+        # zero the per-ResBlock emb contribution: DCEs the emb linear at
+        # every ResBlock AND the whole timestep-embedding MLP upstream —
+        # upper-bounds what precomputing a per-step emb table could save
+        _REAL.setdefault("apply_res", U._apply_res)
+
+        def res_no_emb(p, cfg, h, emb, mode):
+            x = h
+            hh = U.L.group_norm_silu_p(p["in_norm"], h, use_pallas=cfg.use_pallas)
+            if mode == "up":
+                hh = U.L.upsample_nearest2x(hh)
+                x = U.L.upsample_nearest2x(x)
+            elif mode == "down":
+                hh = U.L.avg_pool2x(hh)
+                x = U.L.avg_pool2x(x)
+            hh = U.L.conv2d(p["in_conv"], hh)
+            hh = U.L.group_norm_silu_p(p["out_norm"], hh, use_pallas=cfg.use_pallas)
+            hh = U.L.conv2d(p["out_conv"], hh)
+            if "skip" in p:
+                x = U.L.conv2d(p["skip"], x)
+            return x + hh
+
+        U._apply_res = res_no_emb
+        undo.append(lambda: setattr(U, "_apply_res", _REAL["apply_res"]))
     elif variant == "no_unet":
         def trivial(cfg, p, x, t, ctx, y=None, **kw):
             s = jnp.mean(ctx.astype(jnp.float32)) + jnp.sum(

@@ -40,6 +40,31 @@ class TestUNetShapes:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
 
+    def test_precomputed_cross_kv_matches(self):
+        """Hoisted cross-attention k/v (the per-render KV cache) must be
+        bit-identical to the in-step projections — same _cross_kv math on
+        the same context."""
+        cfg = dataclasses.replace(M.UNetConfig.tiny(), dtype="float32")
+        params = M.init_unet(jax.random.PRNGKey(0), cfg)
+        key = jax.random.PRNGKey(7)
+        x = jax.random.normal(key, (2, 16, 16, 4))
+        t = jnp.array([5, 10])
+        ctx = jax.random.normal(jax.random.fold_in(key, 1), (2, 7, 32))
+        ref = M.unet_apply(cfg, params, x, t, ctx)
+        kv = M.precompute_cross_kv(cfg, params, ctx)
+        from complex_prompt_diffusion_tpu.models.unet import build_plan
+        n_attn = sum(
+            1
+            for plan in (lambda i, m, o: list(i) + [m] + list(o))(
+                *build_plan(cfg)
+            )
+            for desc in plan
+            if desc[0] == "attn"
+        )
+        assert len(kv) == n_attn * cfg.transformer_depth
+        out = M.unet_apply(cfg, params, x, t, ctx, cross_kv=kv)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
 
 class TestVAEShapes:
     def test_roundtrip_shapes(self):
