@@ -88,8 +88,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=50)
-    # batch 4 is this chip's measured throughput sweet spot (b1: 0.89,
-    # b4: 1.33, b8: ~1.29 img/s — docs/PERF.md round-3 batch tables)
+    # batch 4 is this chip's measured throughput sweet spot (b1: 1.04,
+    # b4: 1.44, b8: ~1.39 img/s — docs/PERF.md round-3 batch tables)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(

@@ -35,6 +35,14 @@ import os as _os
 
 _PALLAS_CONV = _os.environ.get("CPD_TPU_PALLAS_CONV", "auto")
 
+# Tap-sum conv3x3: nine statically-shifted [B,H,W,C]x[C,Co] dot_generals over
+# one padded copy (no im2col materialization). Pure-XLA alternative lowering
+# measured against XLA's native conv (scripts/perf_conv4.py, min-of-3 whole
+# fori_loop): wins ONLY on the starved 64^2 plane at small batch (B2 1.05x;
+# B8 0.60x), ties/loses everywhere else. "auto" routes 64^2 stride-1 3x3 at
+# UNet batch <= 4; "0" disables; "1" forces it for every stride-1 3x3.
+_TAPSUM_CONV = _os.environ.get("CPD_TPU_TAPSUM_CONV", "auto")
+
 
 def _pallas_conv_wanted(x_shape) -> bool:
     if _PALLAS_CONV == "1":
@@ -43,6 +51,39 @@ def _pallas_conv_wanted(x_shape) -> bool:
         b, h, w, _ = x_shape
         return b <= 4 and 256 <= h * w <= 1024
     return False
+
+
+def _tapsum_conv_wanted(x_shape) -> bool:
+    if _TAPSUM_CONV == "1":
+        return True
+    if _TAPSUM_CONV == "auto":
+        b, h, w, _ = x_shape
+        return b <= 4 and h * w >= 4096
+    return False
+
+
+def _tapsum_conv3x3(x, kernel, bias):
+    """stride-1 'same' 3x3 conv as a sum of 9 shifted channel contractions.
+
+    Each tap is a static slice of ONE padded copy contracted on the MXU like
+    a plain matmul (f32 accumulation, matching XLA conv's accumulator)."""
+    b, h, w, _ = x.shape
+    kernel = kernel.astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dh in range(3):
+        for dw in range(3):
+            xs = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(xp, dh, dh + h, axis=1), dw, dw + w, axis=2
+            )
+            t = jax.lax.dot_general(
+                xs,
+                kernel[dh, dw],
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = t if acc is None else acc + t
+    return (acc + bias.astype(jnp.float32)).astype(x.dtype)
 
 __all__ = [
     "init_conv",
@@ -122,6 +163,15 @@ def conv2d(params, x, stride: int = 1, padding=None):
         )
     ):
         return conv3x3(x, params["kernel"], params["bias"])
+    if (
+        k == 3
+        and stride == 1
+        and (padding is None or padding == 1)
+        and params["kernel"].shape[1] == 3
+        and _tapsum_conv_wanted(x.shape)
+        and jax.default_backend() == "tpu"
+    ):
+        return _tapsum_conv3x3(x, params["kernel"], params["bias"])
     if padding is None:
         padding = (k - 1) // 2
     if isinstance(padding, int):

@@ -650,3 +650,57 @@ class TestWinograd3x3:
             for b in range(2):
                 ref[a, b] = float((d[a : a + 3, b : b + 3] * gk).sum())
         np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestTapSumConv3x3:
+    """models/layers.py _tapsum_conv3x3 — nine shifted dot_generals over one
+    padded copy — vs the XLA conv it replaces on the 64^2 UNet plane."""
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_matches_xla_conv(self, dtype):
+        from complex_prompt_diffusion_tpu.models import layers as L
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 24)), dtype)
+        k = jnp.asarray(rng.standard_normal((3, 3, 24, 32)) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((32,)) * 0.1, jnp.float32)
+        out = L._tapsum_conv3x3(x, k, bias)
+        assert out.dtype == dtype
+        ref = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32),
+            k,
+            (1, 1),
+            ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        tol = 1e-5 if dtype == jnp.float32 else 5e-2
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), atol=tol, rtol=tol
+        )
+
+    def test_gradients_match_xla_conv(self):
+        # pure lax ops — autodiff must agree with the conv formulation for
+        # all three inputs (x, kernel, bias)
+        from complex_prompt_diffusion_tpu.models import layers as L
+
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 12)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 12, 8)) * 0.1, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((8,)) * 0.1, jnp.float32)
+
+        def ref(a, kk, bb):
+            y = jax.lax.conv_general_dilated(
+                a, kk, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bb
+            return jnp.sum(y ** 2)
+
+        g = jax.grad(
+            lambda a, kk, bb: jnp.sum(L._tapsum_conv3x3(a, kk, bb) ** 2),
+            argnums=(0, 1, 2),
+        )(x, k, bias)
+        gr = jax.grad(ref, argnums=(0, 1, 2))(x, k, bias)
+        for got, want in zip(g, gr):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+            )
