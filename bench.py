@@ -104,6 +104,15 @@ def main():
         "--vae-bf16", dest="vae_bf16", action="store_true",
         help="opt-in bf16 autoencoder for the e2e decode (docs/PERF.md)",
     )
+    ap.add_argument(
+        "--tome", type=float, default=0.0,
+        help="opt-in token reduction at the S>=4096 self-attention sites "
+        "(approximate: the metric is labeled accordingly)",
+    )
+    ap.add_argument(
+        "--tome-mode", default="downsample", choices=["downsample", "merge"],
+        help="token-reduction mode: ToDo K/V pooling or ToMe-SD merging",
+    )
     args = ap.parse_args()
 
     if args.e2e:
@@ -133,6 +142,13 @@ def bench_scan(args):
         h = w = 64  # 512x512 image
         ctx_dim = 768
         flops_per_call = 0.68e12 * 2  # CFG doubles the batch
+    if getattr(args, "tome", 0.0) > 0.0:
+        import dataclasses
+
+        unet_cfg = dataclasses.replace(
+            unet_cfg, tome_ratio=args.tome,
+            tome_mode=getattr(args, "tome_mode", "downsample"),
+        )
 
     key = jax.random.PRNGKey(0)
     params = M.init_unet(key, unet_cfg)
@@ -201,10 +217,16 @@ def bench_scan(args):
     else:
         vs_baseline = 0.0
 
-    result = {
-        "metric": "images/sec/chip SD1.5 512x512 DDIM-50 CFG7.5"
+    metric = (
+        "images/sec/chip SD1.5 512x512 DDIM-50 CFG7.5"
         if not (args.small or not on_tpu)
-        else "images/sec/chip tiny-unet smoke",
+        else "images/sec/chip tiny-unet smoke"
+    )
+    if getattr(args, "tome", 0.0) > 0.0:
+        tag = "ToDo" if getattr(args, "tome_mode", "") == "downsample" else "ToMe"
+        metric += f" +{tag}{args.tome:g} (approx)"
+    result = {
+        "metric": metric,
         "value": round(images_per_sec, 4),
         "unit": "images/sec",
         "vs_baseline": round(vs_baseline, 4),

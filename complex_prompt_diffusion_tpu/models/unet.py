@@ -62,6 +62,19 @@ class UNetConfig:
     # GSPMD replicating the custom calls (parallel/tp.py shard_bundle
     # installs this)
     use_pallas: Any = None
+    # Token reduction (ops/tome.py) — opt-in approximate speedup for the
+    # dominant self-attention sites, applied only where S >= tome_min_seq
+    # (default: level-0 S=4096 only). Two modes:
+    #   "downsample" (default; ToDo recipe): K/V tokens avg-pooled by
+    #     sx*sy, Q stays full — no matching/unmerge overhead; tome_ratio
+    #     only gates on/off (> 0 = on).
+    #   "merge" (ToMe-SD recipe): bipartite-similarity merge of
+    #     ratio*S tokens before attention, unmerge after.
+    tome_ratio: float = 0.0
+    tome_mode: str = "downsample"
+    tome_min_seq: int = 4096
+    tome_sx: int = 2
+    tome_sy: int = 2
 
     # SD presets ------------------------------------------------------------
     @staticmethod
@@ -397,12 +410,18 @@ def precompute_cross_kv(cfg: UNetConfig, params, context):
 
 
 def _cross_attention(
-    p, x, context, heads: int, collector=None, use_pallas=None, kv=None
+    p, x, context, heads: int, collector=None, use_pallas=None, kv=None,
+    self_kv=None,
 ):
     if kv is not None and context is not None:
         # hoisted path: k/v precomputed once per render (precompute_cross_kv)
         q = L.linear(p["to_q"], x)
         k, v = kv
+    elif context is None and self_kv is not None:
+        # token-downsampled self-attention (ops/tome.py downsample_kv):
+        # Q from the full sequence, K/V from the pooled one
+        q = L.linear(p["to_q"], x)
+        k, v = _cross_kv(p, self_kv)
     elif context is None and "hyper_k" not in p and "hyper_v" not in p:
         s_len, c_dim = x.shape[1], x.shape[2]
         # channel-major fused block: measured SLOWER end-to-end (61.8 vs
@@ -472,11 +491,47 @@ def _apply_attn(
     else:
         x = L.conv2d(p["proj_in"], x)
         x = x.reshape(n, hh_ * ww_, inner)
-    for blk in p["blocks"]:
-        x = x + _cross_attention(
-            blk["attn1"], L.layer_norm(blk["norm1"], x), None, heads,
-            use_pallas=cfg.use_pallas,
+    # Token reduction (opt-in, ops/tome.py): shrink the self-attention
+    # K/V (downsample mode) or the whole sequence (merge mode) at the
+    # large-S sites. All decisions are trace-time (static shapes).
+    tome_on = (
+        cfg.tome_ratio > 0.0
+        and hh_ * ww_ >= cfg.tome_min_seq
+        and hh_ % cfg.tome_sy == 0
+        and ww_ % cfg.tome_sx == 0
+    )
+    if tome_on and cfg.tome_mode not in ("downsample", "merge"):
+        raise ValueError(
+            f"unknown tome_mode {cfg.tome_mode!r} (downsample|merge)"
         )
+    tome_r = 0
+    if tome_on and cfg.tome_mode == "merge":
+        n_dst = (hh_ // cfg.tome_sy) * (ww_ // cfg.tome_sx)
+        tome_r = min(int(cfg.tome_ratio * hh_ * ww_), hh_ * ww_ - n_dst)
+    if tome_on:
+        from complex_prompt_diffusion_tpu.ops import tome as _tome
+    for blk in p["blocks"]:
+        xa = L.layer_norm(blk["norm1"], x)
+        if tome_on and cfg.tome_mode == "downsample":
+            xkv = _tome.downsample_kv(xa, hh_, ww_, cfg.tome_sx, cfg.tome_sy)
+            x = x + _cross_attention(
+                blk["attn1"], xa, None, heads,
+                use_pallas=cfg.use_pallas, self_kv=xkv,
+            )
+        elif tome_r > 0:
+            plan = _tome.build_merge(
+                x, hh_, ww_, tome_r, cfg.tome_sx, cfg.tome_sy
+            )
+            out = _cross_attention(
+                blk["attn1"], _tome.tome_merge(plan, xa), None, heads,
+                use_pallas=cfg.use_pallas,
+            )
+            x = x + _tome.tome_unmerge(plan, out)
+        else:
+            x = x + _cross_attention(
+                blk["attn1"], xa, None, heads,
+                use_pallas=cfg.use_pallas,
+            )
         kv = next(kv_iter) if (kv_iter is not None and context is not None) else None
         x = x + _cross_attention(
             blk["attn2"], L.layer_norm(blk["norm2"], x), context, heads,

@@ -205,6 +205,12 @@ class RenderConfig:
     unet_tile: int = 0
     unet_tile_stride: int = 0
     unet_tile_chunk: int = 1
+    # Token reduction (ops/tome.py) at the S>=4096 self-attention sites.
+    # 0 = exact (default); > 0 trades a mild approximation for a level-0
+    # attention cut. tome_mode: "downsample" (ToDo K/V pooling, cheap) or
+    # "merge" (ToMe-SD bipartite merging)
+    tome_ratio: float = 0.0
+    tome_mode: str = "downsample"
     guidance: GuidanceConfig = GuidanceConfig()
 
     def __post_init__(self):
@@ -651,6 +657,20 @@ def sample_latents(
     ClipGuidanceConfig) enabling per-step CLIP gradient guidance
     (t-family samplers only)."""
     family, sample_fn = SA.get_sampler(cfg.sampler)
+    if cfg.tome_ratio > 0.0 and (
+        bundle.unet_cfg.tome_ratio != cfg.tome_ratio
+        or bundle.unet_cfg.tome_mode != cfg.tome_mode
+    ):
+        # opt-in token reduction: static knobs on the UNet config so the
+        # decision happens at trace time (_jit_cache keys include cfg)
+        bundle = dataclasses.replace(
+            bundle,
+            unet_cfg=dataclasses.replace(
+                bundle.unet_cfg,
+                tome_ratio=cfg.tome_ratio,
+                tome_mode=cfg.tome_mode,
+            ),
+        )
     key = jax.random.PRNGKey(cfg.seed) if key is None else key
     key_init, key_steps = jax.random.split(key)
     shape = (cfg.batch_size,) + cfg.latent_shape

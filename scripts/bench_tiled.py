@@ -30,10 +30,19 @@ def _mat(x):
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     b = ModelBundle.random("sd15").cast("bfloat16")
-    for tile, chunk, label in ((64, 2, "tiled64x2"), (0, 1, "untiled")):
+    variants = (
+        (64, 2, 0.0, "", "tiled64x2"),
+        (0, 1, 0.0, "", "untiled"),
+        # token reduction (ops/tome.py) — the untiled S=16384/4096 sites
+        # are where it should pay most
+        (0, 1, 0.75, "downsample", "untiled+todo"),
+        (0, 1, 0.75, "merge", "untiled+tome0.75"),
+    )
+    for tile, chunk, tome, mode, label in variants:
         cfg = RenderConfig(
             steps=steps, sampler="DDIM", width=1024, height=1024,
             unet_tile=tile, unet_tile_chunk=chunk,
+            tome_ratio=tome, tome_mode=mode or "downsample",
         )
         try:
             _, lat = txt2img(b, "a vast landscape", cfg=cfg, decode=False)
