@@ -24,6 +24,7 @@ descriptors) computed from :class:`UNetConfig`; ``init_unet`` and
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -32,6 +33,10 @@ import jax.numpy as jnp
 from complex_prompt_diffusion_tpu.models import layers as L
 from complex_prompt_diffusion_tpu.ops import attention as mha
 from complex_prompt_diffusion_tpu.ops.mlp import geglu_ff
+
+# import-time flag (same trace-time semantics as the conv dispatch flags in
+# models/layers.py): "1" fuses the up-path skip concat into split GN+conv
+_FUSE_SKIP_CAT = _os.environ.get("CPD_TPU_FUSE_SKIP_CAT", "1") != "0"
 
 __all__ = [
     "UNetConfig", "build_plan", "init_unet", "unet_apply",
@@ -323,7 +328,39 @@ def init_unet(key, cfg: UNetConfig):
 # --------------------------------------------------------------------------
 
 
+def _conv_split(p, a, b):
+    """conv(concat([a, b], -1)) as two convs with the kernel split along
+    input channels — the concat never materializes."""
+    ca = a.shape[-1]
+    k = p["kernel"]
+    zero_bias = jnp.zeros((k.shape[-1],), p["bias"].dtype)
+    ya = L.conv2d({"kernel": k[..., :ca, :], "bias": p["bias"]}, a)
+    yb = L.conv2d({"kernel": k[..., ca:, :], "bias": zero_bias}, b)
+    return ya + yb
+
+
 def _apply_res(p, cfg: UNetConfig, h, emb, mode: str):
+    if isinstance(h, tuple):
+        # virtual skip-concat (up path): fuse GN+SiLU+conv across the two
+        # halves so the [N,H,W,C_h+C_skip] concat never hits HBM. Gated to
+        # the matmul-stats GN regime where the split form is bit-identical
+        # to the materialized one (ops/groupnorm.py group_norm_silu_cat),
+        # and to small batch: measured -1.0 ms/step at UNet batch 2 but
+        # +0.2 at batch 8, where XLA's single wide conv tiles better than
+        # the two split ones (docs/PERF.md round 3)
+        a, b = h
+        from complex_prompt_diffusion_tpu.ops import groupnorm as GN
+
+        if (
+            _FUSE_SKIP_CAT
+            and mode == "none"
+            and "skip" in p
+            and a.shape[0] <= 4
+            and GN.prefers_mm_stats(a)
+            and a.dtype == b.dtype
+        ):
+            return _apply_res_cat(p, cfg, a, b, emb)
+        h = jnp.concatenate([a, b], axis=-1)
     x = h
     hh = L.group_norm_silu_p(p["in_norm"], h, use_pallas=cfg.use_pallas)
     if mode == "up":
@@ -346,6 +383,33 @@ def _apply_res(p, cfg: UNetConfig, h, emb, mode: str):
     hh = L.conv2d(p["out_conv"], hh)
     if "skip" in p:
         x = L.conv2d(p["skip"], x)
+    return x + hh
+
+
+def _apply_res_cat(p, cfg: UNetConfig, a, b, emb):
+    """ResBlock over a virtual ``concat([a, b], -1)`` input (the up-path
+    skip concat) with the concat algebraically eliminated: GN stats from
+    split reductions, the in_conv and the 1x1 identity conv split along
+    input channels. Bit-identical to the materialized path under the
+    matmul-stats GN dispatch (see _apply_res)."""
+    from complex_prompt_diffusion_tpu.ops import groupnorm as GN
+
+    ya, yb = GN.group_norm_silu_cat(
+        a, b, p["in_norm"]["scale"], p["in_norm"]["bias"]
+    )
+    hh = _conv_split(p["in_conv"], ya, yb)
+    emb_out = L.linear(p["emb"], L.silu(emb))[:, None, None, :]
+    if cfg.use_scale_shift_norm:
+        scale, shift = jnp.split(emb_out, 2, axis=-1)
+        hh = L.group_norm_p(p["out_norm"], hh, use_pallas=cfg.use_pallas) * (
+            1 + scale
+        ) + shift
+        hh = L.silu(hh)
+    else:
+        hh = hh + emb_out
+        hh = L.group_norm_silu_p(p["out_norm"], hh, use_pallas=cfg.use_pallas)
+    hh = L.conv2d(p["out_conv"], hh)
+    x = _conv_split(p["skip"], a, b)
     return x + hh
 
 
@@ -655,7 +719,12 @@ def unet_apply(
             skip = inject_skips[i]
         if inject_feats is not None and i < inject_feats_stop:
             h = inject_feats[i]
-        h = jnp.concatenate([h, skip], axis=-1)
+        if block_plan[0][0] == "res":
+            # pass the (h, skip) pair: _apply_res eliminates the concat
+            # algebraically when the fused GN regime applies
+            h = (h, skip)
+        else:
+            h = jnp.concatenate([h, skip], axis=-1)
         h = _apply_block(
             block_plan, block_params, cfg, h, emb, context, collector, kv_iter
         )

@@ -365,6 +365,66 @@ def _gn_xla_mm(x, gamma, beta, num_groups, eps, silu):
     return y.astype(x.dtype)
 
 
+def prefers_mm_stats(x) -> bool:
+    """True when :func:`group_norm`'s dispatch would take the matmul-stats
+    XLA path for ``x`` — the gate callers use before choosing the fused
+    virtual-concat form (:func:`group_norm_silu_cat`), which is bit-exact
+    against that path only."""
+    return _use_xla_mm(x, False)
+
+
+def group_norm_silu_cat(a, b, gamma, beta, num_groups=32, eps=1e-5,
+                        silu=True):
+    """GroupNorm(+SiLU) of ``concat([a, b], axis=-1)`` WITHOUT materializing
+    the concat: returns the two normalized halves ``(ya, yb)``.
+
+    Same matmul-stats math as :func:`_gn_xla_mm` (one-pass E[x²] in f32
+    accumulators), split per input: each channel's sum involves only its
+    own half, so the per-channel statistics — and therefore the output —
+    are bit-identical to running _gn_xla_mm on the materialized concat.
+    Groups MAY span the a/b boundary (the group matmul sees the full
+    channel extent); only ``(Ca+Cb) % num_groups == 0`` is required.
+
+    This is the UNet up-path fusion: conv3x3(silu(gn(cat(h, skip)))) =
+    conv_a(ya) + conv_b(yb) with the kernel split along input channels,
+    so the [N,H,W,Ca+Cb] concat tensor never hits HBM.
+    """
+    n, h, w, ca = a.shape
+    cb = b.shape[-1]
+    c = ca + cb
+    if c % num_groups:
+        raise ValueError(f"channels {c} not divisible by {num_groups} groups")
+    ar = a.reshape(n, h * w, ca)
+    br = b.reshape(n, h * w, cb)
+    s1 = jnp.concatenate(
+        [jnp.sum(ar, axis=1, dtype=jnp.float32),
+         jnp.sum(br, axis=1, dtype=jnp.float32)], axis=-1)  # [N, C]
+    s2 = jnp.concatenate(
+        [jnp.sum(jnp.square(ar.astype(jnp.float32)), axis=1),
+         jnp.sum(jnp.square(br.astype(jnp.float32)), axis=1)], axis=-1)
+    c2g = jnp.asarray(_c2g_np(c, num_groups))
+    n_per_group = float(h * w * (c // num_groups))
+    mean_g = jnp.dot(s1, c2g, preferred_element_type=jnp.float32) / n_per_group
+    ex2_g = jnp.dot(s2, c2g, preferred_element_type=jnp.float32) / n_per_group
+    var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, c2g.T)  # [N, C]
+    rstd_c = jnp.dot(rstd_g, c2g.T)
+
+    def _norm(x, lo, hi):
+        y = (x.astype(jnp.float32) - mean_c[:, None, None, lo:hi]) * rstd_c[
+            :, None, None, lo:hi
+        ]
+        y = y * gamma[lo:hi].astype(jnp.float32) + beta[lo:hi].astype(
+            jnp.float32
+        )
+        if silu:
+            y = y * jax.nn.sigmoid(y)
+        return y.astype(x.dtype)
+
+    return _norm(a, 0, ca), _norm(b, ca, c)
+
+
 def _gn_xla_mm2(x, gamma, beta, num_groups, eps, silu):
     """Two-pass (centered-variance) variant of _gn_xla_mm for f32 inputs:
     no E[x^2] cancellation, same no-lane-reshape structure. 3R+1W fused

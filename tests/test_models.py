@@ -40,6 +40,39 @@ class TestUNetShapes:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
 
+    def test_up_path_virtual_concat_matches_materialized(self, monkeypatch):
+        """The fused up-path (GN+conv split across the (h, skip) pair,
+        models/unet.py _apply_res_cat) must match the materialized-concat
+        path: the GN part is bit-exact by construction, the conv split only
+        reassociates the input-channel reduction (f32 ~1e-6)."""
+        from complex_prompt_diffusion_tpu.ops import groupnorm as GN
+
+        cfg = dataclasses.replace(M.UNetConfig.tiny(context_dim=64),
+                                  dtype="float32")
+        params = M.init_unet(jax.random.PRNGKey(0), cfg)
+        key = jax.random.PRNGKey(3)
+        x = jax.random.normal(key, (2, 16, 16, 4))
+        t = jnp.array([7, 300])
+        ctx = jax.random.normal(jax.random.fold_in(key, 1), (2, 7, 64))
+
+        def run():
+            # decoder hidden states: the final out conv is zero-init on
+            # random weights, so probe the feats instead
+            out, feats = M.unet_apply(
+                cfg, params, x, t, ctx, return_feats=True
+            )
+            return np.concatenate(
+                [np.asarray(f, np.float64).ravel() for f in feats]
+            )
+
+        # force the mm-stats GN for f32 so both paths share the GN math
+        monkeypatch.setattr(GN, "_GN_IMPL", "xla_mm")
+        assert GN.prefers_mm_stats(x)
+        fused = run()
+        monkeypatch.setattr(GN, "prefers_mm_stats", lambda a: False)
+        materialized = run()
+        np.testing.assert_allclose(fused, materialized, atol=1e-5, rtol=1e-5)
+
     def test_precomputed_cross_kv_matches(self):
         """Hoisted cross-attention k/v (the per-render KV cache) must be
         bit-identical to the in-step projections — same _cross_kv math on

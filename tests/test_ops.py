@@ -216,6 +216,30 @@ class TestGroupNorm:
                 rtol=2 ** -7,
             )
 
+    def test_cat_form_bitexact_vs_mm(self):
+        # group_norm_silu_cat on (a, b) must be BIT-identical to _gn_xla_mm
+        # on the materialized concat (same split-reduction math), including
+        # groups that span the a/b boundary (ca=96 with 32 groups of 7)
+        from complex_prompt_diffusion_tpu.ops import groupnorm as GN
+
+        x, gamma, beta = self._data(c=224)
+        for ca in (96, 128):
+            a, b = x[..., :ca], x[..., ca:]
+            ya, yb = GN.group_norm_silu_cat(a, b, gamma, beta, num_groups=32)
+            got = jnp.concatenate([ya, yb], axis=-1)
+            want = GN._gn_xla_mm(x, gamma, beta, 32, 1e-5, True)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_cat_form_bad_channels_raises(self):
+        from complex_prompt_diffusion_tpu.ops import groupnorm as GN
+
+        x, gamma, beta = self._data(c=128)
+        with pytest.raises(ValueError):
+            GN.group_norm_silu_cat(
+                x[..., :65], x[..., 65:126], gamma[:126], beta[:126],
+                num_groups=32,
+            )
+
     def test_chunked_f32_two_pass_matches_xla(self):
         # over-VMEM-budget f32 activations stream through the two-pass
         # chunked kernels (stats grid (n,2,nk)); must match XLA exactly
