@@ -43,6 +43,10 @@ _PALLAS_CONV = _os.environ.get("CPD_TPU_PALLAS_CONV", "auto")
 # UNet batch <= 4; "0" disables; "1" forces it for every stride-1 3x3.
 _TAPSUM_CONV = _os.environ.get("CPD_TPU_TAPSUM_CONV", "auto")
 
+# conv1x1 as a plain channel contraction (dot_general) instead of XLA's
+# conv lowering — A/B probe flag (docs/PERF.md round 3)
+_CONV1X1_DOT = _os.environ.get("CPD_TPU_CONV1X1_DOT", "0") == "1"
+
 
 def _pallas_conv_wanted(x_shape) -> bool:
     if _PALLAS_CONV == "1":
@@ -154,6 +158,12 @@ def conv2d(params, x, stride: int = 1, padding=None):
     chip's matmul ceiling — and keeps every site (perf_conv3.py)."""
     dtype = x.dtype
     k = params["kernel"].shape[0]
+    if _CONV1X1_DOT and k == 1 and stride == 1 and not padding:
+        y = jax.lax.dot_general(
+            x, params["kernel"].astype(dtype)[0, 0],
+            (((3,), (0,)), ((), ())),
+        )
+        return y + params["bias"].astype(dtype)
     if (
         _pallas_conv_wanted(x.shape)
         and jax.default_backend() == "tpu"

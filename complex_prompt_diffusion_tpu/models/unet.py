@@ -80,6 +80,11 @@ class UNetConfig:
     tome_min_seq: int = 4096
     tome_sx: int = 2
     tome_sy: int = 2
+    # merge mode only: reuse the block's merge plan for the FF and the
+    # cross-attention Q side too (ToMe-SD merge_mlp / merge_crossattn) —
+    # the plan is built once per block, so these amortize its cost
+    tome_mlp: bool = False
+    tome_crossattn: bool = False
 
     # SD presets ------------------------------------------------------------
     @staticmethod
@@ -576,6 +581,7 @@ def _apply_attn(
         from complex_prompt_diffusion_tpu.ops import tome as _tome
     for blk in p["blocks"]:
         xa = L.layer_norm(blk["norm1"], x)
+        plan = None
         if tome_on and cfg.tome_mode == "downsample":
             xkv = _tome.downsample_kv(xa, hh_, ww_, cfg.tome_sx, cfg.tome_sy)
             x = x + _cross_attention(
@@ -583,6 +589,8 @@ def _apply_attn(
                 use_pallas=cfg.use_pallas, self_kv=xkv,
             )
         elif tome_r > 0:
+            # one plan per block, reused by the FF / cross-Q merges below
+            # (ToMe-SD recipe: the metric is the block input)
             plan = _tome.build_merge(
                 x, hh_, ww_, tome_r, cfg.tome_sx, cfg.tome_sy
             )
@@ -597,18 +605,34 @@ def _apply_attn(
                 use_pallas=cfg.use_pallas,
             )
         kv = next(kv_iter) if (kv_iter is not None and context is not None) else None
-        x = x + _cross_attention(
-            blk["attn2"], L.layer_norm(blk["norm2"], x), context, heads,
-            collector=collector, use_pallas=cfg.use_pallas, kv=kv,
-        )
+        xc = L.layer_norm(blk["norm2"], x)
+        if plan is not None and cfg.tome_crossattn and collector is None:
+            out = _cross_attention(
+                blk["attn2"], _tome.tome_merge(plan, xc), context, heads,
+                use_pallas=cfg.use_pallas, kv=kv,
+            )
+            x = x + _tome.tome_unmerge(plan, out)
+        else:
+            x = x + _cross_attention(
+                blk["attn2"], xc, context, heads,
+                collector=collector, use_pallas=cfg.use_pallas, kv=kv,
+            )
         y = L.layer_norm(blk["norm3"], x)
         # fused GEGLU FF (ops/mlp.py): hidden activations stay in VMEM
-        x = x + geglu_ff(
-            y,
-            blk["ff"]["proj"]["kernel"], blk["ff"]["proj"]["bias"],
-            blk["ff"]["out"]["kernel"], blk["ff"]["out"]["bias"],
-            use_pallas=cfg.use_pallas,
-        )
+        if plan is not None and cfg.tome_mlp:
+            x = x + _tome.tome_unmerge(plan, geglu_ff(
+                _tome.tome_merge(plan, y),
+                blk["ff"]["proj"]["kernel"], blk["ff"]["proj"]["bias"],
+                blk["ff"]["out"]["kernel"], blk["ff"]["out"]["bias"],
+                use_pallas=cfg.use_pallas,
+            ))
+        else:
+            x = x + geglu_ff(
+                y,
+                blk["ff"]["proj"]["kernel"], blk["ff"]["proj"]["bias"],
+                blk["ff"]["out"]["kernel"], blk["ff"]["out"]["bias"],
+                use_pallas=cfg.use_pallas,
+            )
     if cfg.use_linear_in_transformer:
         x = L.linear(p["proj_out"], x)
         x = x.reshape(n, hh_, ww_, c)

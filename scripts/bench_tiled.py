@@ -30,26 +30,40 @@ def _mat(x):
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     b = ModelBundle.random("sd15").cast("bfloat16")
+    import dataclasses
+
     variants = (
-        (64, 2, 0.0, "", "tiled64x2"),
-        (0, 1, 0.0, "", "untiled"),
+        (64, 2, 0.0, "", False, "tiled64x2"),
+        (0, 1, 0.0, "", False, "untiled"),
         # token reduction (ops/tome.py) — the untiled S=16384/4096 sites
         # are where it should pay most
-        (0, 1, 0.75, "downsample", "untiled+todo"),
-        (0, 1, 0.75, "merge", "untiled+tome0.75"),
+        (0, 1, 0.75, "downsample", False, "untiled+todo"),
+        (0, 1, 0.75, "merge", False, "untiled+tome0.75"),
+        # plan reuse across FF + cross-Q (ToMe-SD merge_mlp/crossattn)
+        (0, 1, 0.75, "merge", True, "untiled+tome0.75+mlp+xq"),
     )
-    for tile, chunk, tome, mode, label in variants:
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    for tile, chunk, tome, mode, mlp, label in variants:
+        if only and label not in only:
+            continue
+        bb = b
+        if mlp:
+            bb = dataclasses.replace(
+                b, unet_cfg=dataclasses.replace(
+                    b.unet_cfg, tome_mlp=True, tome_crossattn=True
+                )
+            )
         cfg = RenderConfig(
             steps=steps, sampler="DDIM", width=1024, height=1024,
             unet_tile=tile, unet_tile_chunk=chunk,
             tome_ratio=tome, tome_mode=mode or "downsample",
         )
         try:
-            _, lat = txt2img(b, "a vast landscape", cfg=cfg, decode=False)
+            _, lat = txt2img(bb, "a vast landscape", cfg=cfg, decode=False)
             _mat(lat)
             t0 = time.perf_counter()
             _, lat = txt2img(
-                b, "a vast landscape", cfg=cfg,
+                bb, "a vast landscape", cfg=cfg,
                 key=jax.random.PRNGKey(1), decode=False,
             )
             _mat(lat)

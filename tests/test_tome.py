@@ -156,7 +156,8 @@ class TestDownsampleKV:
 
 
 class TestUNetWiring:
-    def _bundle_out(self, tome_ratio, min_seq=16, mode="merge"):
+    def _bundle_out(self, tome_ratio, min_seq=16, mode="merge",
+                    mlp=False, crossattn=False):
         from complex_prompt_diffusion_tpu import models as M
 
         cfg = dataclasses.replace(
@@ -165,6 +166,8 @@ class TestUNetWiring:
             tome_ratio=tome_ratio,
             tome_min_seq=min_seq,
             tome_mode=mode,
+            tome_mlp=mlp,
+            tome_crossattn=crossattn,
         )
         key = jax.random.PRNGKey(0)
         params = M.init_unet(key, cfg)
@@ -206,6 +209,19 @@ class TestUNetWiring:
     def test_unknown_mode_raises(self):
         with pytest.raises(ValueError):
             self._bundle_out(0.4, mode="nope")
+
+    def test_mlp_and_crossattn_merge_flags(self):
+        # plan reuse across FF + cross-Q (ToMe-SD merge_mlp/merge_crossattn):
+        # still finite, still correlated, and distinct from attn1-only merging
+        exact = np.asarray(self._bundle_out(0.0), np.float64).ravel()
+        attn_only = np.asarray(self._bundle_out(0.4), np.float64).ravel()
+        full = np.asarray(
+            self._bundle_out(0.4, mlp=True, crossattn=True), np.float64
+        ).ravel()
+        assert np.isfinite(full).all()
+        cos = (exact @ full) / (np.linalg.norm(exact) * np.linalg.norm(full))
+        assert cos > 0.9, cos
+        assert not np.allclose(full, attn_only)
 
     def test_ratio_zero_is_exact_path(self):
         a = self._bundle_out(0.0)
