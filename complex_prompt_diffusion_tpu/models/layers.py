@@ -47,6 +47,12 @@ _TAPSUM_CONV = _os.environ.get("CPD_TPU_TAPSUM_CONV", "auto")
 # conv lowering — A/B probe flag (docs/PERF.md round 3)
 _CONV1X1_DOT = _os.environ.get("CPD_TPU_CONV1X1_DOT", "0") == "1"
 
+# subpixel decoder upsample: conv3x3(nearest2x(x)) computed as four
+# per-phase 2x2 convs on the SMALL plane (16 taps on HxW vs 9 taps on
+# 4HW = 2.25x fewer FLOPs, algebraically exact — nearest-neighbor
+# duplicates collapse into summed kernel taps). "auto" = on for TPU.
+_SUBPIXEL_UP = _os.environ.get("CPD_TPU_SUBPIXEL_UP", "auto")
+
 
 def _pallas_conv_wanted(x_shape) -> bool:
     if _PALLAS_CONV == "1":
@@ -89,9 +95,67 @@ def _tapsum_conv3x3(x, kernel, bias):
             acc = t if acc is None else acc + t
     return (acc + bias.astype(jnp.float32)).astype(x.dtype)
 
+def conv3x3_after_upsample2x(params, x):
+    """``conv2d(params, upsample_nearest2x(x))`` without materializing the
+    upsampled plane: per output phase (p_h, p_w) ∈ {0,1}², the nearest-2x
+    duplication collapses the 3×3 taps onto ≤2×2 distinct small-plane
+    pixels, with kernels formed by summing the collapsed taps. Exact up to
+    f32 summation order; 16 small-plane contractions replace 9 big-plane
+    ones (2.25× fewer FLOPs) and every dot rides the MXU like a matmul
+    (same regime as the tap-sum conv above).
+
+    Derivation: output row 2i+p reads upsampled rows 2i+p+dh-1, which map
+    to source rows floor((2i+p+dh-1)/2) — for p=0 that is {i-1: dh=0,
+    i: dh∈{1,2}}, for p=1 {i: dh∈{0,1}, i+1: dh=2}; columns identically.
+    """
+    k = params["kernel"]
+    b, h, w, _ = x.shape
+    co = k.shape[-1]
+    kf = k.astype(jnp.float32)
+    # phase -> {padded-offset: contributing tap indices}; pad=1, so padded
+    # offset o reads source index i + o - 1
+    taps = {0: {0: (0,), 1: (1, 2)}, 1: {1: (0, 1), 2: (2,)}}
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    phases = []
+    for ph in (0, 1):
+        for pw in (0, 1):
+            acc = None
+            for oh, dhs in taps[ph].items():
+                for ow, dws in taps[pw].items():
+                    k2 = sum(kf[dh, dw] for dh in dhs for dw in dws)
+                    xs = jax.lax.slice_in_dim(
+                        jax.lax.slice_in_dim(xp, oh, oh + h, axis=1),
+                        ow, ow + w, axis=2,
+                    )
+                    t = jax.lax.dot_general(
+                        xs, k2.astype(x.dtype),
+                        (((3,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = t if acc is None else acc + t
+            phases.append(acc + params["bias"].astype(jnp.float32))
+    y = jnp.stack(phases, axis=-2).reshape(b, h, w, 2, 2, co)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, co)
+    return y.astype(x.dtype)
+
+
+def subpixel_up_wanted(kernel_shape) -> bool:
+    if _SUBPIXEL_UP == "0":
+        return False
+    if _SUBPIXEL_UP == "1":
+        return kernel_shape[0] == 3 and kernel_shape[1] == 3
+    return (
+        kernel_shape[0] == 3
+        and kernel_shape[1] == 3
+        and jax.default_backend() == "tpu"
+    )
+
+
 __all__ = [
     "init_conv",
     "conv2d",
+    "conv3x3_after_upsample2x",
+    "subpixel_up_wanted",
     "init_linear",
     "linear",
     "init_group_norm",

@@ -659,7 +659,10 @@ def _apply_block(
         elif kind == "down":
             h = L.conv2d(p, h, stride=2)
         elif kind == "up":
-            h = L.conv2d(p, L.upsample_nearest2x(h))
+            if L.subpixel_up_wanted(p["kernel"].shape):
+                h = L.conv3x3_after_upsample2x(p, h)
+            else:
+                h = L.conv2d(p, L.upsample_nearest2x(h))
         else:
             raise ValueError(kind)
     return h

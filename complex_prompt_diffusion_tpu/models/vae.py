@@ -267,7 +267,11 @@ def vae_decode(cfg: VAEConfig, params, z) -> jax.Array:
             if up["attn"]:
                 h = _attn_block(up["attn"][i], h)
         if "upsample" in up:
-            h = L.conv2d(up["upsample"], L.upsample_nearest2x(h))
+            if L.subpixel_up_wanted(up["upsample"]["kernel"].shape):
+                # 2.25x-fewer-FLOP exact subpixel form (models/layers.py)
+                h = L.conv3x3_after_upsample2x(up["upsample"], h)
+            else:
+                h = L.conv2d(up["upsample"], L.upsample_nearest2x(h))
     h = L.group_norm_silu_p(p["norm_out"], h, eps=1e-6)
     return L.conv2d(p["conv_out"], h).astype(jnp.float32)
 

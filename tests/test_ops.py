@@ -676,6 +676,66 @@ class TestWinograd3x3:
         np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
 
 
+class TestSubpixelUpConv:
+    """conv3x3_after_upsample2x == conv2d(upsample_nearest2x(x)) exactly
+    (up to f32 tap-sum reassociation)."""
+
+    def _ref(self, p, x):
+        from complex_prompt_diffusion_tpu.models import layers as L
+
+        return L.conv2d(p, L.upsample_nearest2x(x))
+
+    @pytest.mark.parametrize("b,h,w,ci,co", [(2, 8, 8, 16, 24), (1, 5, 7, 8, 8)])
+    def test_matches_upsample_conv(self, b, h, w, ci, co):
+        from complex_prompt_diffusion_tpu.models import layers as L
+
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (b, h, w, ci), jnp.float32)
+        p = L.init_conv(jax.random.fold_in(key, 1), ci, co, 3)
+        p = {"kernel": p["kernel"] + 0.01, "bias": p["bias"] + 0.1}
+        got = L.conv3x3_after_upsample2x(p, x)
+        want = self._ref(p, x)
+        assert got.shape == want.shape == (b, 2 * h, 2 * w, co)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    def test_bf16(self):
+        from complex_prompt_diffusion_tpu.models import layers as L
+
+        key = jax.random.PRNGKey(2)
+        x = jax.random.normal(key, (2, 8, 8, 32), jnp.bfloat16)
+        p = L.init_conv(jax.random.fold_in(key, 1), 32, 32, 3)
+        got = L.conv3x3_after_upsample2x(p, x)
+        want = self._ref(p, x)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+    def test_gradients_match(self):
+        from complex_prompt_diffusion_tpu.models import layers as L
+
+        key = jax.random.PRNGKey(3)
+        x = jax.random.normal(key, (1, 6, 6, 8), jnp.float32)
+        p = L.init_conv(jax.random.fold_in(key, 1), 8, 12, 3)
+
+        def loss(fn, x, p):
+            return jnp.sum(jnp.sin(fn(p, x)))
+
+        g1 = jax.grad(lambda x, k, b: loss(
+            L.conv3x3_after_upsample2x, x, {"kernel": k, "bias": b}
+        ), argnums=(0, 1, 2))(x, p["kernel"], p["bias"])
+        g2 = jax.grad(lambda x, k, b: loss(
+            self._ref, x, {"kernel": k, "bias": b}
+        ), argnums=(0, 1, 2))(x, p["kernel"], p["bias"])
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5
+            )
+
+
 class TestTapSumConv3x3:
     """models/layers.py _tapsum_conv3x3 — nine shifted dot_generals over one
     padded copy — vs the XLA conv it replaces on the 64^2 UNet plane."""
