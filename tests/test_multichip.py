@@ -75,6 +75,44 @@ class TestMultichip:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "data-parallel render ok" in r.stdout
 
+    def test_data_parallel_render_with_token_reduction(self):
+        """Token reduction (ops/tome.py) is pure XLA (pool/gather/matmul),
+        so it must compose with the sharded render path — GSPMD partitions
+        the batch dim through the merge machinery."""
+        r = _run(
+            """
+            import jax, numpy as np, dataclasses
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from complex_prompt_diffusion_tpu.parallel import make_mesh, replicate
+            from complex_prompt_diffusion_tpu.pipeline import ModelBundle, RenderConfig, sample_latents, make_guidance_spec
+
+            mesh = make_mesh(data=8, model=1)
+            b = ModelBundle.random("tiny")
+            b = dataclasses.replace(
+                b,
+                unet_params=replicate(mesh, b.unet_params),
+                unet_cfg=dataclasses.replace(b.unet_cfg, tome_min_seq=16),
+            )
+            spec = make_guidance_spec(b, "a cat walking")
+            import jax.numpy as jnp
+            for mode in ("downsample", "merge"):
+                # fresh init per run: sample_latents donates the buffer
+                x_T = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 4), jnp.float32)
+                x_T = jax.device_put(x_T, NamedSharding(mesh, P("data")))
+                cfg = RenderConfig(steps=2, width=32, height=32, batch_size=8,
+                                   tome_ratio=0.4, tome_mode=mode)
+                with mesh:
+                    lat = sample_latents(b, spec, cfg, x_init=x_T)
+                lat = np.asarray(lat)
+                assert lat.shape == (8, 4, 4, 4)
+                assert np.isfinite(lat).all()
+                print("sharded render +" + mode + " ok")
+            """
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "sharded render +downsample ok" in r.stdout
+        assert "sharded render +merge ok" in r.stdout
+
     @pytest.mark.slow  # full SD-1.5 compile in a subprocess (minutes)
     def test_entry_compiles(self):
         r = _run(
