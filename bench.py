@@ -47,7 +47,9 @@ def bench_e2e(args):
     size = 512 if on_tpu and not args.small else 32
     steps = args.steps if on_tpu and not args.small else 2
     cfg = RenderConfig(
-        steps=steps, width=size, height=size, batch_size=args.batch
+        steps=steps, width=size, height=size, batch_size=args.batch,
+        tome_ratio=getattr(args, "tome", 0.0),
+        tome_mode=getattr(args, "tome_mode", "downsample"),
     )
     prompts = [
         "a photograph of an astronaut riding a horse, seed %d" % i
@@ -65,11 +67,17 @@ def bench_e2e(args):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     images_per_sec = args.batch / dt
-    result = {
-        "metric": "images/sec/chip e2e(tokenize+CLIP+scan+VAEdecode) "
+    metric = (
+        "images/sec/chip e2e(tokenize+CLIP+scan+VAEdecode) "
         "SD1.5 512x512 DDIM-50 CFG7.5"
         if on_tpu and not args.small
-        else "images/sec/chip e2e tiny smoke",
+        else "images/sec/chip e2e tiny smoke"
+    )
+    if getattr(args, "tome", 0.0) > 0.0:
+        tag = "ToDo" if getattr(args, "tome_mode", "") == "downsample" else "ToMe"
+        metric += f" +{tag}{args.tome:g} (approx)"
+    result = {
+        "metric": metric,
         "value": round(images_per_sec, 4),
         "unit": "images/sec",
         "vs_baseline": round(
