@@ -214,6 +214,12 @@ class RenderConfig:
     guidance: GuidanceConfig = GuidanceConfig()
 
     def __post_init__(self):
+        if self.tome_ratio > 0.0 and self.tome_mode not in (
+            "downsample", "merge"
+        ):
+            raise ValueError(
+                f"unknown tome_mode {self.tome_mode!r} (downsample|merge)"
+            )
         # convenience: RenderConfig(guidance_scale=9) without an explicit
         # GuidanceConfig propagates into the guidance config
         if (

@@ -228,6 +228,13 @@ class TestUNetWiring:
         b = self._bundle_out(0.0)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_render_config_validates_mode_early(self):
+        from complex_prompt_diffusion_tpu.pipeline import RenderConfig
+
+        with pytest.raises(ValueError):
+            RenderConfig(tome_ratio=0.3, tome_mode="nope")
+        RenderConfig(tome_ratio=0.0, tome_mode="nope")  # off => unvalidated
+
     def test_pipeline_threads_ratio(self):
         from complex_prompt_diffusion_tpu.pipeline import (
             ModelBundle, RenderConfig, txt2img,
