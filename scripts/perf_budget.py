@@ -199,6 +199,25 @@ def _patch(variant: str):
         set_conv(_conv_filter(lambda k, xs, hh=hh: k[0] == 3 and xs[1] == hh))
     elif variant == "no_conv1":
         set_conv(_conv_filter(lambda k, xs: k[0] == 1))
+    elif variant == "no_upconv":
+        # subpixel decoder upsample convs (models/layers.py
+        # conv3x3_after_upsample2x) bypass conv2d — ablate separately:
+        # shape-preserving upsample + broadcast bias keeps the dependence
+        _REAL.setdefault("upconv", U.L.conv3x3_after_upsample2x)
+
+        def up_standin(p, x):
+            y = U.L.upsample_nearest2x(x[..., : p["kernel"].shape[-1]])
+            co = p["kernel"].shape[-1]
+            if y.shape[-1] < co:
+                y = jnp.concatenate(
+                    [y] * (co // y.shape[-1] + 1), axis=-1
+                )[..., :co]
+            return y + p["bias"].astype(y.dtype)
+
+        U.L.conv3x3_after_upsample2x = up_standin
+        undo.append(
+            lambda: setattr(U.L, "conv3x3_after_upsample2x", _REAL["upconv"])
+        )
     elif variant == "no_temb":
         # zero the per-ResBlock emb contribution: DCEs the emb linear at
         # every ResBlock AND the whole timestep-embedding MLP upstream —
