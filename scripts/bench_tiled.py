@@ -29,6 +29,7 @@ def _mat(x):
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    size = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     b = ModelBundle.random("sd15").cast("bfloat16")
     import dataclasses
 
@@ -54,7 +55,7 @@ def main():
                 )
             )
         cfg = RenderConfig(
-            steps=steps, sampler="DDIM", width=1024, height=1024,
+            steps=steps, sampler="DDIM", width=size, height=size,
             unet_tile=tile, unet_tile_chunk=chunk,
             tome_ratio=tome, tome_mode=mode or "downsample",
         )
@@ -69,14 +70,14 @@ def main():
             _mat(lat)
             dt = time.perf_counter() - t0
             print(json.dumps({
-                "metric": f"1024x1024 DDIM-{steps} {label}",
+                "metric": f"{size}x{size} DDIM-{steps} {label}",
                 "value": round(1.0 / dt, 4),
                 "unit": "images/sec",
                 "per_step_ms": round(dt / steps * 1e3, 1),
             }))
         except Exception as e:  # untiled may OOM — that IS the point
             print(json.dumps({
-                "metric": f"1024x1024 DDIM-{steps} {label}",
+                "metric": f"{size}x{size} DDIM-{steps} {label}",
                 "error": f"{type(e).__name__}: {str(e)[:120]}",
             }))
 
