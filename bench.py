@@ -50,6 +50,7 @@ def bench_e2e(args):
         steps=steps, width=size, height=size, batch_size=args.batch,
         tome_ratio=getattr(args, "tome", 0.0),
         tome_mode=getattr(args, "tome_mode", "downsample"),
+        deepcache_interval=getattr(args, "deepcache", 0),
     )
     prompts = [
         "a photograph of an astronaut riding a horse, seed %d" % i
@@ -76,6 +77,8 @@ def bench_e2e(args):
     if getattr(args, "tome", 0.0) > 0.0:
         tag = "ToDo" if getattr(args, "tome_mode", "") == "downsample" else "ToMe"
         metric += f" +{tag}{args.tome:g} (approx)"
+    if getattr(args, "deepcache", 0) >= 2:
+        metric += f" +DeepCache{args.deepcache} (approx)"
     result = {
         "metric": metric,
         "value": round(images_per_sec, 4),
@@ -120,6 +123,11 @@ def main():
     ap.add_argument(
         "--tome-mode", default="downsample", choices=["downsample", "merge"],
         help="token-reduction mode: ToDo K/V pooling or ToMe-SD merging",
+    )
+    ap.add_argument(
+        "--deepcache", type=int, default=0,
+        help="opt-in DeepCache interval: full UNet every Nth step, shallow "
+        "level-0-only retrieval in between (approximate: labeled)",
     )
     args = ap.parse_args()
 
@@ -185,6 +193,44 @@ def bench_scan(args):
             unet_cfg, p, stacked_context(spec, x_T.shape[0])
         )
 
+        dc = getattr(args, "deepcache", 0)
+        if dc >= 2:
+            from complex_prompt_diffusion_tpu.guidance.cfg import (
+                _batched_inputs, cfg_epsilon_deepcache,
+            )
+
+            j0 = M.deepcache_default_block(unet_cfg)
+
+            def unet_full(x, t, ctx):
+                return M.unet_apply(
+                    unet_cfg, p, x, t, ctx, cross_kv=kv, return_deep_at=j0
+                )
+
+            def unet_shallow(x, t, ctx, deep):
+                return M.unet_apply(
+                    unet_cfg, p, x, t, ctx,
+                    cross_kv=kv, deep_feature=deep, deep_at=j0,
+                )
+
+            deep_sd = jax.eval_shape(
+                lambda x_: unet_full(
+                    *_batched_inputs(x_, jnp.zeros((), jnp.float32), spec, None)
+                )[1],
+                x_T,
+            )
+
+            def eps_fn(x, t, uc, blur, i, st):
+                return cfg_epsilon_deepcache(
+                    unet_full, unet_shallow, x, t, spec, uc,
+                    (i % dc) == 0, st, gcfg=gcfg, uc_blur_on=blur,
+                )
+
+            x0, _ = SA.sample_ddim(
+                eps_fn, x_T, itables, uc_scales, key=k, unroll=args.unroll,
+                eps_state=jnp.zeros(deep_sd.shape, deep_sd.dtype),
+            )
+            return x0
+
         def unet_eps(x, t, ctx):
             return M.unet_apply(unet_cfg, p, x, t, ctx, cross_kv=kv)
 
@@ -233,6 +279,8 @@ def bench_scan(args):
     if getattr(args, "tome", 0.0) > 0.0:
         tag = "ToDo" if getattr(args, "tome_mode", "") == "downsample" else "ToMe"
         metric += f" +{tag}{args.tome:g} (approx)"
+    if getattr(args, "deepcache", 0) >= 2:
+        metric += f" +DeepCache{args.deepcache} (approx)"
     result = {
         "metric": metric,
         "value": round(images_per_sec, 4),

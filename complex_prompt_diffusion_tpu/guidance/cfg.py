@@ -39,6 +39,7 @@ __all__ = [
     "GuidanceSpec",
     "GuidanceConfig",
     "cfg_epsilon",
+    "cfg_epsilon_deepcache",
     "make_denoiser",
     "make_uc_scale_schedule",
     "sigma_to_t_cont",
@@ -235,6 +236,39 @@ def cfg_epsilon(
     out = unet_eps(x_in, t_in, ctx_in)
     e_uncond, e_sum = _split_and_sum(out, spec, x.shape[0], gcfg, uc_blur_on)
     return _combine(e_uncond, e_sum, uc_scale, gcfg)
+
+
+def cfg_epsilon_deepcache(
+    unet_full: Callable,
+    unet_shallow: Callable,
+    x: jax.Array,
+    t: jax.Array,
+    spec: GuidanceSpec,
+    uc_scale: jax.Array,
+    is_full,
+    deep: jax.Array,
+    *,
+    gcfg: GuidanceConfig = GuidanceConfig(),
+    depth_mask: Optional[jax.Array] = None,
+    uc_blur_on: Optional[jax.Array] = None,
+):
+    """DeepCache variant of :func:`cfg_epsilon` (opt-in approximate mode;
+    see models/unet.py unet_apply).
+
+    unet_full(x_in, t_in, ctx) -> (eps, deep'), unet_shallow(x_in, t_in,
+    ctx, deep) -> eps. On cache steps (``is_full`` true) the full UNet runs
+    and refreshes the deep feature; on retrieval steps only the shallow
+    subgraph runs against the carried one. Returns (e_t, deep').
+    """
+    x_in, t_in, ctx_in = _batched_inputs(x, t, spec, depth_mask)
+    out, deep = jax.lax.cond(
+        is_full,
+        lambda d: unet_full(x_in, t_in, ctx_in),
+        lambda d: (unet_shallow(x_in, t_in, ctx_in, d), d),
+        deep,
+    )
+    e_uncond, e_sum = _split_and_sum(out, spec, x.shape[0], gcfg, uc_blur_on)
+    return _combine(e_uncond, e_sum, uc_scale, gcfg), deep
 
 
 def cfg_epsilon_attn_guided(

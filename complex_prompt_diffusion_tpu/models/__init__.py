@@ -11,7 +11,8 @@ Reference parity targets:
 """
 
 from complex_prompt_diffusion_tpu.models.unet import (
-    UNetConfig, init_unet, precompute_cross_kv, unet_apply,
+    UNetConfig, deepcache_default_block, init_unet, precompute_cross_kv,
+    unet_apply,
 )
 from complex_prompt_diffusion_tpu.models.vae import (
     VAEConfig,
@@ -36,6 +37,7 @@ __all__ = [
     "init_unet",
     "unet_apply",
     "precompute_cross_kv",
+    "deepcache_default_block",
     "VAEConfig",
     "init_vae",
     "vae_encode",

@@ -40,7 +40,7 @@ _FUSE_SKIP_CAT = _os.environ.get("CPD_TPU_FUSE_SKIP_CAT", "1") != "0"
 
 __all__ = [
     "UNetConfig", "build_plan", "init_unet", "unet_apply",
-    "precompute_cross_kv",
+    "precompute_cross_kv", "deepcache_default_block",
 ]
 
 
@@ -478,6 +478,42 @@ def precompute_cross_kv(cfg: UNetConfig, params, context):
     return tuple(cache)
 
 
+def deepcache_default_block(cfg: UNetConfig) -> int:
+    """Default DeepCache split: the first output block of the SHALLOWEST
+    level (the last ``nrb[0]+1`` output blocks run at full resolution).
+    Caching the feature entering that block keeps exactly the level-0
+    encoder/decoder blocks (the expensive full-resolution attention+conv)
+    live on retrieval steps and skips everything deeper."""
+    _, _, output_plan = build_plan(cfg)
+    return len(output_plan) - (cfg.res_blocks_per_level[0] + 1)
+
+
+def _kv_counts(cfg: UNetConfig):
+    """Cross-attention k/v cache entries contributed by each plan segment
+    (plan order: input blocks, middle, output blocks) — used to align a
+    full ``precompute_cross_kv`` tuple with a DeepCache shallow pass."""
+
+    def n(block_plan):
+        return sum(d[4] for d in block_plan if d[0] == "attn")
+
+    input_plan, middle_plan, output_plan = build_plan(cfg)
+    return (
+        [n(b) for b in input_plan],
+        n(middle_plan),
+        [n(b) for b in output_plan],
+    )
+
+
+def _shallow_cross_kv(cfg: UNetConfig, cross_kv, deep_at: int):
+    """Subset of a full cross_kv tuple consumed by the DeepCache shallow
+    pass (executed input prefix + executed output suffix)."""
+    kv_in, kv_mid, kv_out = _kv_counts(cfg)
+    keep_in = len(kv_in) - deep_at
+    a = sum(kv_in[:keep_in])
+    b = sum(kv_in) + kv_mid + sum(kv_out[:deep_at])
+    return tuple(cross_kv[:a]) + tuple(cross_kv[b:])
+
+
 def _cross_attention(
     p, x, context, heads: int, collector=None, use_pallas=None, kv=None,
     self_kv=None,
@@ -684,6 +720,9 @@ def unet_apply(
     inject_feats_stop: int = 10,
     collect_attn_maps: bool = False,
     cross_kv=None,
+    return_deep_at: Optional[int] = None,
+    deep_feature=None,
+    deep_at: Optional[int] = None,
 ):
     """Predict eps (or v) for latents ``x`` [N,H,W,C] at ``timesteps`` [N].
 
@@ -704,9 +743,38 @@ def unet_apply(
     ``context`` — the cross-attention k/v projections are then read from
     the cache instead of recomputed, which hoists them out of a sampling
     scan (the context is loop-invariant across denoising steps).
+
+    DeepCache (Ma et al. 2023, "DeepCache: Accelerating Diffusion Models
+    for Free" — no reference counterpart; an opt-in approximate mode like
+    ops/tome.py):
+      * ``return_deep_at=j`` — additionally return the hidden state
+        ENTERING output block ``j`` (appended last to the extras); this is
+        the feature a later retrieval step reuses.
+      * ``deep_feature=h, deep_at=j`` — shallow retrieval pass: run only
+        the input blocks whose skips feed output blocks ``j..``, skip the
+        middle block and output blocks ``< j``, and resume from ``h``.
+        The executed ops are the identical subgraph of the full pass, so
+        a shallow pass fed the SAME step's true deep feature is
+        bit-identical to the full pass. ``cross_kv`` (if given) must be
+        the FULL tuple — the shallow subset is selected internally.
     """
     input_plan, middle_plan, output_plan = build_plan(cfg)
     dtype = cfg.compute_dtype
+    shallow = deep_feature is not None
+    if shallow:
+        if deep_at is None:
+            raise ValueError("deep_feature requires deep_at")
+        if (
+            return_skips or return_feats or collect_attn_maps
+            or inject_skips is not None or inject_feats is not None
+            or return_deep_at is not None
+        ):
+            raise ValueError(
+                "DeepCache shallow pass is incompatible with the aux "
+                "skip/feature/attn-map interfaces"
+            )
+        if cross_kv is not None:
+            cross_kv = _shallow_cross_kv(cfg, cross_kv, deep_at)
 
     t_emb = L.timestep_embedding(timesteps, cfg.model_channels)
     emb = L.linear(params["time_embed"]["lin1"], t_emb)
@@ -723,22 +791,34 @@ def unet_apply(
 
     collector = [] if collect_attn_maps else None
     kv_iter = iter(cross_kv) if cross_kv is not None else None
+    keep_in = len(input_plan) - deep_at if shallow else len(input_plan)
     hs = []
-    for block_plan, block_params in zip(input_plan, params["input_blocks"]):
+    for block_plan, block_params in zip(
+        input_plan[:keep_in], params["input_blocks"][:keep_in]
+    ):
         h = _apply_block(
             block_plan, block_params, cfg, h, emb, context, collector, kv_iter
         )
         hs.append(h)
-    h = _apply_block(
-        middle_plan, params["middle_block"], cfg, h, emb, context, collector,
-        kv_iter,
-    )
+    if shallow:
+        h = deep_feature
+        out_start = deep_at
+    else:
+        h = _apply_block(
+            middle_plan, params["middle_block"], cfg, h, emb, context,
+            collector, kv_iter,
+        )
+        out_start = 0
 
+    deep_out = None
     skips_out = []
     feats_out = []
     for i, (block_plan, block_params) in enumerate(
-        zip(output_plan, params["output_blocks"])
+        zip(output_plan[out_start:], params["output_blocks"][out_start:]),
+        start=out_start,
     ):
+        if return_deep_at is not None and i == return_deep_at:
+            deep_out = h
         skip = hs.pop()
         if return_skips:
             skips_out.append(skip)
@@ -770,6 +850,13 @@ def unet_apply(
         extras.append(tuple(feats_out))
     if collect_attn_maps:
         extras.append(tuple(collector))
+    if return_deep_at is not None:
+        if deep_out is None:
+            raise ValueError(
+                f"return_deep_at={return_deep_at} out of range "
+                f"(0..{len(output_plan) - 1})"
+            )
+        extras.append(deep_out)
     if extras:
         return (out, *extras)
     return out

@@ -27,6 +27,8 @@ from complex_prompt_diffusion_tpu.guidance import (
     make_denoiser,
 )
 from complex_prompt_diffusion_tpu.guidance.cfg import (
+    _batched_inputs,
+    cfg_epsilon_deepcache,
     make_uc_blur_schedule,
     make_uc_scale_schedule,
     stacked_context,
@@ -211,6 +213,14 @@ class RenderConfig:
     # "merge" (ToMe-SD bipartite merging)
     tome_ratio: float = 0.0
     tome_mode: str = "downsample"
+    # DeepCache (models/unet.py unet_apply docstring) — opt-in approximate
+    # mode: run the FULL UNet every `deepcache_interval`-th step and only
+    # the shallowest level (reusing the cached deep feature) in between.
+    # 0/1 = exact (default); requires a DDIM-family sampler.
+    # deepcache_block: output-block index of the cache split (None = the
+    # first block of the shallowest level, deepcache_default_block)
+    deepcache_interval: int = 0
+    deepcache_block: Optional[int] = None
     guidance: GuidanceConfig = GuidanceConfig()
 
     def __post_init__(self):
@@ -220,6 +230,20 @@ class RenderConfig:
             raise ValueError(
                 f"unknown tome_mode {self.tome_mode!r} (downsample|merge)"
             )
+        if self.deepcache_interval >= 2:
+            if self.sampler.upper() not in ("DDIM",):
+                raise ValueError(
+                    "deepcache_interval requires the DDIM sampler (the "
+                    "feature cache is carried through the DDIM scan)"
+                )
+            if self.unet_tile:
+                raise ValueError(
+                    "deepcache_interval is incompatible with unet_tile"
+                )
+            if self.guidance.attn_guide:
+                raise ValueError(
+                    "deepcache_interval is incompatible with attn_guide"
+                )
         # convenience: RenderConfig(guidance_scale=9) without an explicit
         # GuidanceConfig propagates into the guidance config
         if (
@@ -307,6 +331,11 @@ def _build_sampler_fn(
         raise ValueError(
             "tiled UNet inference (unet_tile) is incompatible with "
             "attention-saliency guidance (skip tensors span the full canvas)"
+        )
+    if cfg.deepcache_interval >= 2 and clip_guidance is not None:
+        raise ValueError(
+            "deepcache_interval is incompatible with CLIP guidance (the "
+            "guidance gradient re-runs the UNet outside the cached scan)"
         )
 
     def _make_unet_eps(unet_params, cross_kv=None):
@@ -403,9 +432,8 @@ def _build_sampler_fn(
             return a * out + b * x[..., : out.shape[-1]]
 
         def run(unet_params, spec, x_T, key, noises, depth_mask, guide_args):
-            raw_unet = _make_unet_eps(
-                unet_params, _hoisted_kv(unet_params, spec, x_T.shape[0])
-            )
+            hoisted_kv = _hoisted_kv(unet_params, spec, x_T.shape[0])
+            raw_unet = _make_unet_eps(unet_params, hoisted_kv)
 
             def unet_eps(x, t, ctx):
                 return _to_eps(raw_unet(x, t, ctx), x, t)
@@ -518,14 +546,56 @@ def _build_sampler_fn(
             else:
                 eps_fn = base_eps
 
+            # DeepCache (opt-in approximate; models/unet.py docstring):
+            # the deep feature rides the scan carry; full UNet every
+            # `interval`-th step, shallow retrieval pass in between.
+            # RenderConfig validation guarantees DDIM + no attn/CLIP
+            # guidance, so eps_fn == base_eps here.
+            dc_state0 = None
+            if cfg.deepcache_interval >= 2:
+                j0 = (
+                    cfg.deepcache_block
+                    if cfg.deepcache_block is not None
+                    else M.deepcache_default_block(bundle.unet_cfg)
+                )
+                interval = cfg.deepcache_interval
+
+                def unet_full(x_in, t_in, ctx_):
+                    out, deep = M.unet_apply(
+                        bundle.unet_cfg, unet_params, x_in, t_in, ctx_,
+                        cross_kv=hoisted_kv, return_deep_at=j0,
+                    )
+                    return _to_eps(out, x_in, t_in), deep
+
+                def unet_shallow(x_in, t_in, ctx_, deep):
+                    out = M.unet_apply(
+                        bundle.unet_cfg, unet_params, x_in, t_in, ctx_,
+                        cross_kv=hoisted_kv, deep_feature=deep, deep_at=j0,
+                    )
+                    return _to_eps(out, x_in, t_in)
+
+                deep_sd = jax.eval_shape(
+                    lambda x_, sp, dm: unet_full(
+                        *_batched_inputs(x_, jnp.zeros((), jnp.float32), sp, dm)
+                    )[1],
+                    x_T, spec, depth_mask,
+                )
+                dc_state0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
+
+                def eps_fn(x, t, uc_scale, blur_on, i, deep):
+                    return cfg_epsilon_deepcache(
+                        unet_full, unet_shallow, x, t, spec, uc_scale,
+                        (i % interval) == 0, deep,
+                        gcfg=gcfg, depth_mask=depth_mask, uc_blur_on=blur_on,
+                    )
+
             if step_callback is not None:
                 # per-step preview hook (extension/callbacks.py): host
                 # observes the x0 prediction via jax.debug.callback without
                 # breaking the compiled scan
                 inner_eps = eps_fn
 
-                def eps_fn(x, t, uc_scale, blur_on, _inner=inner_eps):
-                    e_t = _inner(x, t, uc_scale, blur_on)
+                def _preview(x, t, e_t):
                     idx = jnp.searchsorted(
                         timesteps_j,
                         jnp.asarray(t).reshape(-1)[0].astype(timesteps_j.dtype),
@@ -539,7 +609,20 @@ def _build_sampler_fn(
                     jax.debug.callback(
                         step_callback, jnp.asarray(t).reshape(-1)[0], x0_pred
                     )
-                    return e_t
+
+                if dc_state0 is not None:
+
+                    def eps_fn(x, t, uc_scale, blur_on, i, st, _inner=inner_eps):
+                        e_t, st = _inner(x, t, uc_scale, blur_on, i, st)
+                        _preview(x, t, e_t)
+                        return e_t, st
+
+                else:
+
+                    def eps_fn(x, t, uc_scale, blur_on, _inner=inner_eps):
+                        e_t = _inner(x, t, uc_scale, blur_on)
+                        _preview(x, t, e_t)
+                        return e_t
 
             kwargs = dict(
                 key=key,
@@ -551,6 +634,8 @@ def _build_sampler_fn(
             )
             if sample_fn is SA.sample_ddim and t_start is not None:
                 kwargs["t_start"] = t_start
+            if dc_state0 is not None:
+                kwargs["eps_state"] = dc_state0
             x0, _ = sample_fn(eps_fn, x_T, itables, uc_scales, **kwargs)
             return x0
 

@@ -101,6 +101,7 @@ def sample_ddim(
     clip_sample_thresh: float = 90.0,
     t_start: Optional[int] = None,
     unroll: int = 1,
+    eps_state=None,
 ):
     """Full reverse chain as one scan.
 
@@ -109,6 +110,10 @@ def sample_ddim(
     (img2img decode path, ddim.py:95-104 / :684-737). Static.
     ``unroll``: lax.scan unroll factor (trades compile time/code size for
     per-iteration loop overhead; the default keeps the compile fast).
+    ``eps_state``: optional pytree carried across steps through the eps
+    evaluation (the DeepCache feature cache). When given, the protocol
+    becomes eps_fn(x, t, uc_scale, uc_blur_on, i, state) -> (eps, state)
+    with ``i`` the 0-based loop iteration.
 
     Returns (x_0, pred_x0_trajectory [S_run, ...]).
     """
@@ -119,20 +124,27 @@ def sample_ddim(
     if uc_blur_flags is None:
         uc_blur_flags = jnp.zeros(s_total, bool)
     noise_at = _noise_source(key, noises, x_T.shape, s_run)
+    stateful = eps_state is not None
 
-    def body(x, i):
+    def body(carry, i):
+        x = carry[0] if stateful else carry
         idx = s_run - 1 - i  # descending table index (reference's `index`)
         t = jnp.take(it.timesteps, idx)
-        e_t = eps_fn(x, t, uc_scales[i], uc_blur_flags[i])
+        if stateful:
+            e_t, st = eps_fn(x, t, uc_scales[i], uc_blur_flags[i], i, carry[1])
+        else:
+            e_t = eps_fn(x, t, uc_scales[i], uc_blur_flags[i])
         x_prev, pred_x0 = ddim_step(
             x, e_t, idx, it, noise_at(i),
             temperature=temperature,
             clip_sample=clip_sample,
             clip_sample_thresh=clip_sample_thresh,
         )
-        return x_prev, pred_x0
+        return ((x_prev, st) if stateful else x_prev), pred_x0
 
-    x0, traj = jax.lax.scan(body, x_T, jnp.arange(s_run), unroll=unroll)
+    init = (x_T, eps_state) if stateful else x_T
+    carry, traj = jax.lax.scan(body, init, jnp.arange(s_run), unroll=unroll)
+    x0 = carry[0] if stateful else carry
     return x0, traj
 
 

@@ -1,0 +1,202 @@
+"""DeepCache (opt-in approximate mode; models/unet.py unet_apply docstring).
+
+No reference counterpart — this is a beyond-reference serving feature (like
+ops/tome.py): run the FULL UNet every Nth step, and in between only the
+shallowest level, reusing the cached deep feature carried through the DDIM
+scan. The core correctness property is that the shallow pass is the
+IDENTICAL subgraph of the full pass: fed the same step's true deep feature
+it must reproduce the full output bitwise.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from complex_prompt_diffusion_tpu.guidance import GuidanceSpec
+from complex_prompt_diffusion_tpu.models.unet import (
+    UNetConfig,
+    deepcache_default_block,
+    init_unet,
+    precompute_cross_kv,
+    unet_apply,
+)
+from complex_prompt_diffusion_tpu.pipeline import (
+    ModelBundle,
+    RenderConfig,
+    sample_latents,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = UNetConfig.tiny()
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 16, 16, 4), jnp.float32)
+    t = jnp.asarray([5.0, 5.0])
+    ctx = jnp.asarray(rs.randn(2, 7, 32), jnp.float32)
+    return cfg, params, x, t, ctx
+
+
+class TestUNetSplit:
+    def test_default_block_sd15(self):
+        # SD-1.5: 12 output blocks, 3 at the shallowest level -> split at 9
+        assert deepcache_default_block(UNetConfig.sd15()) == 9
+
+    def test_full_with_return_deep_matches_plain(self, tiny):
+        cfg, params, x, t, ctx = tiny
+        j0 = deepcache_default_block(cfg)
+        out_full, _deep = unet_apply(cfg, params, x, t, ctx, return_deep_at=j0)
+        out_ref = unet_apply(cfg, params, x, t, ctx)
+        np.testing.assert_array_equal(np.asarray(out_full), np.asarray(out_ref))
+
+    @pytest.mark.parametrize("j0", [0, 1, 2, 3])
+    def test_shallow_bitexact_vs_full(self, tiny, j0):
+        # the shallow retrieval pass fed the SAME step's true deep feature
+        # executes the identical op subgraph -> bitwise equality
+        cfg, params, x, t, ctx = tiny
+        out_full, deep = unet_apply(cfg, params, x, t, ctx, return_deep_at=j0)
+        out_shallow = unet_apply(
+            cfg, params, x, t, ctx, deep_feature=deep, deep_at=j0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_shallow), np.asarray(out_full)
+        )
+
+    def test_shallow_with_hoisted_cross_kv(self, tiny):
+        # the shallow pass must pick the right SUBSET of a full cross_kv
+        # tuple (executed input prefix + executed output suffix)
+        cfg, params, x, t, ctx = tiny
+        j0 = deepcache_default_block(cfg)
+        kv = precompute_cross_kv(cfg, params, ctx)
+        out_full, deep = unet_apply(
+            cfg, params, x, t, ctx, cross_kv=kv, return_deep_at=j0
+        )
+        out_shallow = unet_apply(
+            cfg, params, x, t, ctx, cross_kv=kv, deep_feature=deep, deep_at=j0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_shallow), np.asarray(out_full)
+        )
+        # and the kv-fed full pass matches the plain one
+        out_ref = unet_apply(cfg, params, x, t, ctx)
+        np.testing.assert_array_equal(np.asarray(out_full), np.asarray(out_ref))
+
+    def test_shallow_rejects_aux_interfaces(self, tiny):
+        cfg, params, x, t, ctx = tiny
+        j0 = deepcache_default_block(cfg)
+        _, deep = unet_apply(cfg, params, x, t, ctx, return_deep_at=j0)
+        with pytest.raises(ValueError, match="incompatible"):
+            unet_apply(
+                cfg, params, x, t, ctx,
+                deep_feature=deep, deep_at=j0, return_skips=True,
+            )
+        with pytest.raises(ValueError, match="requires deep_at"):
+            unet_apply(cfg, params, x, t, ctx, deep_feature=deep)
+
+    def test_return_deep_out_of_range(self, tiny):
+        cfg, params, x, t, ctx = tiny
+        with pytest.raises(ValueError, match="out of range"):
+            unet_apply(cfg, params, x, t, ctx, return_deep_at=99)
+
+
+class TestRenderConfigValidation:
+    def test_requires_ddim(self):
+        with pytest.raises(ValueError, match="DDIM"):
+            RenderConfig(sampler="Euler", deepcache_interval=2)
+
+    def test_incompatible_with_tile(self):
+        with pytest.raises(ValueError, match="unet_tile"):
+            RenderConfig(deepcache_interval=2, unet_tile=32)
+
+    def test_incompatible_with_attn_guide(self):
+        from complex_prompt_diffusion_tpu.guidance import GuidanceConfig
+
+        with pytest.raises(ValueError, match="attn_guide"):
+            RenderConfig(
+                deepcache_interval=2,
+                guidance=GuidanceConfig(attn_guide=True),
+            )
+
+    def test_off_values_ok(self):
+        RenderConfig(deepcache_interval=0)
+        RenderConfig(deepcache_interval=1)
+        RenderConfig(sampler="Euler", deepcache_interval=1)
+
+
+class TestPipeline:
+    @pytest.fixture(scope="class")
+    def bundle(self):
+        return ModelBundle.random("tiny")
+
+    def _spec_and_noise(self, bundle):
+        rs = np.random.RandomState(0)
+        d = bundle.unet_cfg.context_dim
+        spec = GuidanceSpec.single(
+            jnp.asarray(rs.randn(7, d), jnp.float32),
+            jnp.asarray(rs.randn(7, d), jnp.float32),
+            1.0,
+        )
+        noises = jnp.asarray(rs.randn(4, 1, 8, 8, 4), jnp.float32)
+        x_T = jnp.asarray(rs.randn(1, 8, 8, 4), jnp.float32)
+        return spec, noises, x_T
+
+    def test_interval2_runs_and_differs(self, bundle):
+        spec, noises, x_T = self._spec_and_noise(bundle)
+        kw = dict(width=64, height=64, batch_size=1, steps=4)
+        x_exact = sample_latents(
+            bundle, spec, RenderConfig(**kw),
+            x_init=jnp.array(x_T), noises=noises,
+        )
+        x_dc = sample_latents(
+            bundle, spec, RenderConfig(deepcache_interval=2, **kw),
+            x_init=jnp.array(x_T), noises=noises,
+        )
+        assert np.isfinite(np.asarray(x_dc)).all()
+        # retrieval steps approximate the deep path -> close, not equal
+        assert not np.array_equal(np.asarray(x_dc), np.asarray(x_exact))
+
+    def test_single_step_matches_exact(self, bundle):
+        # steps=1: only the i=0 cache step runs, which IS the full UNet
+        spec, noises, x_T = self._spec_and_noise(bundle)
+        kw = dict(width=64, height=64, batch_size=1, steps=1)
+        x_exact = sample_latents(
+            bundle, spec, RenderConfig(**kw),
+            x_init=jnp.array(x_T), noises=noises[:1],
+        )
+        x_dc = sample_latents(
+            bundle, spec, RenderConfig(deepcache_interval=2, **kw),
+            x_init=jnp.array(x_T), noises=noises[:1],
+        )
+        np.testing.assert_allclose(
+            np.asarray(x_dc), np.asarray(x_exact), rtol=0, atol=1e-5
+        )
+
+    def test_custom_block(self, bundle):
+        spec, noises, x_T = self._spec_and_noise(bundle)
+        x_dc = sample_latents(
+            bundle, spec,
+            RenderConfig(
+                width=64, height=64, batch_size=1, steps=3,
+                deepcache_interval=3, deepcache_block=1,
+            ),
+            x_init=jnp.array(x_T), noises=noises[:3],
+        )
+        assert np.isfinite(np.asarray(x_dc)).all()
+
+    def test_vparam_bundle(self, bundle):
+        # v-parameterization conversion composes with the cached branches
+        vb = dataclasses.replace(bundle, parameterization="v")
+        spec, noises, x_T = self._spec_and_noise(bundle)
+        x_dc = sample_latents(
+            vb, spec,
+            RenderConfig(
+                width=64, height=64, batch_size=1, steps=2,
+                deepcache_interval=2,
+            ),
+            x_init=jnp.array(x_T), noises=noises[:2],
+        )
+        assert np.isfinite(np.asarray(x_dc)).all()
