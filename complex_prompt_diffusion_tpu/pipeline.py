@@ -231,10 +231,11 @@ class RenderConfig:
                 f"unknown tome_mode {self.tome_mode!r} (downsample|merge)"
             )
         if self.deepcache_interval >= 2:
-            if self.sampler.upper() not in ("DDIM",):
+            if self.sampler.upper() not in ("DDIM", "PLMS"):
                 raise ValueError(
-                    "deepcache_interval requires the DDIM sampler (the "
-                    "feature cache is carried through the DDIM scan)"
+                    "deepcache_interval requires a DDIM-family sampler "
+                    "(DDIM or PLMS — the feature cache is carried through "
+                    "the sampling scan)"
                 )
             if self.unet_tile:
                 raise ValueError(

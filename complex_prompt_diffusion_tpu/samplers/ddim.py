@@ -171,17 +171,24 @@ def sample_plms(
     temperature: float = 1.0,
     clip_sample: Optional[str] = None,
     clip_sample_thresh: float = 90.0,
+    eps_state=None,
 ):
     """PLMS (PNDM) sampling. First step: pseudo improved Euler with a second
     eps eval at t_next; later steps: Adams-Bashforth over the eps history
     (plms.py:27-41). Step formula is the same DDIM update (the reference's
-    PLMS wrapper drives p_sample_reverse with eta=0 tables)."""
+    PLMS wrapper drives p_sample_reverse with eta=0 tables).
+
+    ``eps_state``: optional pytree carried through the eps evaluations (the
+    DeepCache feature cache — same protocol as :func:`sample_ddim`). The
+    first step's second eval (at t_next) threads the state too.
+    """
     it = _prepare(itables)
     s = int(itables.num_steps)
     uc_scales = jnp.asarray(uc_scales, jnp.float32)
     if uc_blur_flags is None:
         uc_blur_flags = jnp.zeros(s, bool)
     noise_at = _noise_source(key, noises, x_T.shape, s)
+    stateful = eps_state is not None
 
     step = partial(
         ddim_step,
@@ -191,33 +198,54 @@ def sample_plms(
     )
 
     def body(carry, i):
-        x, old_eps, n_old = carry
+        if stateful:
+            x, old_eps, n_old, st = carry
+        else:
+            x, old_eps, n_old = carry
+            st = None
         idx = s - 1 - i
         t = jnp.take(it.timesteps, idx)
         t_next_idx = jnp.maximum(idx - 1, 0)
         t_next = jnp.take(it.timesteps, t_next_idx)
-        e_t = eps_fn(x, t, uc_scales[i], uc_blur_flags[i])
+        if stateful:
+            e_t, st = eps_fn(x, t, uc_scales[i], uc_blur_flags[i], i, st)
+        else:
+            e_t = eps_fn(x, t, uc_scales[i], uc_blur_flags[i])
 
-        def first_step(_):
+        def first_step(st_):
             # pseudo improved Euler: step with e_t, re-evaluate at t_next
             x_prev_1, _ = step(x, e_t, idx, it, noise_at(i))
-            e_t_next = eps_fn(x_prev_1, t_next, uc_scales[i], uc_blur_flags[i])
-            return (e_t + e_t_next) / 2
+            if stateful:
+                e_t_next, st_ = eps_fn(
+                    x_prev_1, t_next, uc_scales[i], uc_blur_flags[i], i, st_
+                )
+            else:
+                e_t_next = eps_fn(
+                    x_prev_1, t_next, uc_scales[i], uc_blur_flags[i]
+                )
+            return (e_t + e_t_next) / 2, st_
 
-        def multistep(_):
-            return _plms_combine(e_t, old_eps, n_old)
+        def multistep(st_):
+            return _plms_combine(e_t, old_eps, n_old), st_
 
-        e_t_prime = jax.lax.cond(n_old == 0, first_step, multistep, None)
+        e_t_prime, st = jax.lax.cond(n_old == 0, first_step, multistep, st)
         x_prev, pred_x0 = step(x, e_t_prime, idx, it, noise_at(i))
 
         new_old = jnp.roll(old_eps, 1, axis=0).at[0].set(e_t)
-        return (x_prev, new_old, jnp.minimum(n_old + 1, 3)), pred_x0
+        n_new = jnp.minimum(n_old + 1, 3)
+        new_carry = (
+            (x_prev, new_old, n_new, st)
+            if stateful
+            else (x_prev, new_old, n_new)
+        )
+        return new_carry, pred_x0
 
     old_eps0 = jnp.zeros((3,) + x_T.shape, x_T.dtype)
-    (x0, _, _), traj = jax.lax.scan(
-        body, (x_T, old_eps0, jnp.asarray(0)), jnp.arange(s)
-    )
-    return x0, traj
+    init = (x_T, old_eps0, jnp.asarray(0))
+    if stateful:
+        init = init + (eps_state,)
+    carry, traj = jax.lax.scan(body, init, jnp.arange(s))
+    return carry[0], traj
 
 
 def ddim_encode(

@@ -175,6 +175,22 @@ class TestPipeline:
             np.asarray(x_dc), np.asarray(x_exact), rtol=0, atol=1e-5
         )
 
+    def test_plms_runs_and_differs(self, bundle):
+        # PLMS threads the cache through both the AB history evals and the
+        # first step's second (t_next) eval
+        spec, noises, x_T = self._spec_and_noise(bundle)
+        kw = dict(width=64, height=64, batch_size=1, steps=4, sampler="PLMS")
+        x_exact = sample_latents(
+            bundle, spec, RenderConfig(**kw),
+            x_init=jnp.array(x_T), noises=noises,
+        )
+        x_dc = sample_latents(
+            bundle, spec, RenderConfig(deepcache_interval=2, **kw),
+            x_init=jnp.array(x_T), noises=noises,
+        )
+        assert np.isfinite(np.asarray(x_dc)).all()
+        assert not np.array_equal(np.asarray(x_dc), np.asarray(x_exact))
+
     def test_custom_block(self, bundle):
         spec, noises, x_T = self._spec_and_noise(bundle)
         x_dc = sample_latents(
