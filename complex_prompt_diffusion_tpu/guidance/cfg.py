@@ -271,6 +271,51 @@ def cfg_epsilon_deepcache(
     return _combine(e_uncond, e_sum, uc_scale, gcfg), deep
 
 
+def make_denoiser_deepcache(
+    unet_full: Callable,
+    unet_shallow: Callable,
+    spec: GuidanceSpec,
+    *,
+    interval: int,
+    gcfg: GuidanceConfig = GuidanceConfig(),
+    model_sigmas: Optional[jax.Array] = None,
+    parameterization: str = "eps",
+    depth_mask: Optional[jax.Array] = None,
+) -> Callable:
+    """Sigma-space DeepCache denoiser for the k-diffusion samplers.
+
+    Returns ``den_fn(x, sigma, uc_scale, i, deep) -> (denoised, deep')`` —
+    the stateful protocol threaded by kdiff._den2: the full UNet runs on
+    every ``interval``-th sampler step (refreshing the carried deep
+    feature); in between only the shallow retrieval subgraph runs (see
+    :func:`cfg_epsilon_deepcache`). Multi-eval samplers (Heun, DPM2,
+    DPM++ 2S) evaluate twice with the same step index, so on cache steps
+    both evals are full (the second refresh lands closer to the next
+    step); retrieval steps stay shallow for both.
+
+    Same input-scaling / v-param contract as make_denoiser's denoised_fn
+    (the reference Denoiser.forward, extension/denoiser.py:362-393,528-542).
+    """
+
+    def den_fn(x, sigma, uc_scale, i, deep):
+        sigma = jnp.asarray(sigma, jnp.float32)
+        c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)
+        t = sigma_to_t_cont(sigma, model_sigmas)
+        e_t, deep = cfg_epsilon_deepcache(
+            unet_full, unet_shallow, x * c_in, t, spec, uc_scale,
+            (i % interval) == 0, deep,
+            gcfg=gcfg, depth_mask=depth_mask,
+        )
+        if parameterization == "v":
+            alpha = 1.0 / jnp.sqrt(1.0 + sigma**2)
+            c_skip = 1.0 / (sigma**2 + 1.0)
+            c_out = -sigma * alpha
+            return x * c_skip + e_t * c_out, deep
+        return x - sigma * e_t, deep
+
+    return den_fn
+
+
 def cfg_epsilon_attn_guided(
     unet_eps: Callable,
     unet_eps_skips: Callable,

@@ -39,6 +39,16 @@ __all__ = ["ModelBundle", "RenderConfig", "txt2img", "img2img", "decode_latents"
 
 LATENT_SCALE = 0.18215  # applied by callers in the reference too (prompts.py:326)
 
+# Samplers whose scans thread the DeepCache deep-feature state (ddim.py
+# eps_state / kdiff.py den_state). Grouped multi-eval walks (DPM Fast),
+# adaptive integrators and the continuous-time solver family are excluded —
+# their eval order is not a fixed per-step grid.
+DEEPCACHE_SAMPLERS = frozenset({
+    "ddim", "plms",
+    "euler", "euler ancestral", "heun", "huen",
+    "dpm2", "dpm2 ancestral", "dpm++ 2m", "dpm++ 2s ancestral", "lms",
+})
+
 
 def _unzero_kernels(key, params, scale: float = 0.02):
     """Replace all-zero kernel leaves (ndim>=2) with small gaussian noise.
@@ -231,11 +241,12 @@ class RenderConfig:
                 f"unknown tome_mode {self.tome_mode!r} (downsample|merge)"
             )
         if self.deepcache_interval >= 2:
-            if self.sampler.upper() not in ("DDIM", "PLMS"):
+            if self.sampler.lower() not in DEEPCACHE_SAMPLERS:
                 raise ValueError(
-                    "deepcache_interval requires a DDIM-family sampler "
-                    "(DDIM or PLMS — the feature cache is carried through "
-                    "the sampling scan)"
+                    f"deepcache_interval is not supported with sampler "
+                    f"{self.sampler!r} (the feature cache is carried "
+                    f"through the sampling scan); supported: "
+                    f"{sorted(DEEPCACHE_SAMPLERS)}"
                 )
             if self.unet_tile:
                 raise ValueError(
@@ -702,9 +713,8 @@ def _build_sampler_fn(
         kw["eta"] = cfg.eta if cfg.eta else 1.0
 
     def run(unet_params, spec, x, key, noises, depth_mask, guide_args):
-        unet_eps = _make_unet_eps(
-            unet_params, _hoisted_kv(unet_params, spec, x.shape[0])
-        )
+        hoisted_kv = _hoisted_kv(unet_params, spec, x.shape[0])
+        unet_eps = _make_unet_eps(unet_params, hoisted_kv)
 
         _, den_fn = make_denoiser(
             unet_eps, spec, gcfg=cfg.guidance,
@@ -712,17 +722,78 @@ def _build_sampler_fn(
             parameterization=bundle.parameterization,
             depth_mask=depth_mask,
         )
+
+        # DeepCache for the k-diffusion scans (opt-in approximate; same
+        # carry protocol as the DDIM family — kdiff._den2). The raw UNet
+        # output is CFG-combined first and v-param-converted at the
+        # denoised level, matching make_denoiser's sigma-space contract.
+        dc_state0 = None
+        if cfg.deepcache_interval >= 2:
+            from complex_prompt_diffusion_tpu.guidance.cfg import (
+                make_denoiser_deepcache,
+            )
+
+            j0 = (
+                cfg.deepcache_block
+                if cfg.deepcache_block is not None
+                else M.deepcache_default_block(bundle.unet_cfg)
+            )
+
+            def unet_full(x_in, t_in, ctx_):
+                return M.unet_apply(
+                    bundle.unet_cfg, unet_params, x_in, t_in, ctx_,
+                    cross_kv=hoisted_kv, return_deep_at=j0,
+                )
+
+            def unet_shallow(x_in, t_in, ctx_, deep):
+                return M.unet_apply(
+                    bundle.unet_cfg, unet_params, x_in, t_in, ctx_,
+                    cross_kv=hoisted_kv, deep_feature=deep, deep_at=j0,
+                )
+
+            deep_sd = jax.eval_shape(
+                lambda x_, sp, dm: unet_full(
+                    *_batched_inputs(x_, jnp.zeros((), jnp.float32), sp, dm)
+                )[1],
+                x, spec, depth_mask,
+            )
+            dc_state0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
+            den_fn = make_denoiser_deepcache(
+                unet_full, unet_shallow, spec,
+                interval=cfg.deepcache_interval, gcfg=cfg.guidance,
+                model_sigmas=jnp.asarray(bundle.tables.sigmas),
+                parameterization=bundle.parameterization,
+                depth_mask=depth_mask,
+            )
+
         if step_callback is not None:
             inner_den = den_fn
 
-            def den_fn(x_, sigma, uc_scale, _inner=inner_den):
-                denoised = _inner(x_, sigma, uc_scale)
+            def _announce(sigma, denoised):
                 jax.debug.callback(
                     step_callback, jnp.asarray(sigma).reshape(-1)[0], denoised
                 )
-                return denoised
 
-        x0, _ = sample_fn(den_fn, x, sigmas, uc_scales, key=key, noises=noises, **kw)
+            if dc_state0 is not None:
+
+                def den_fn(x_, sigma, uc_scale, i, st, _inner=inner_den):
+                    denoised, st = _inner(x_, sigma, uc_scale, i, st)
+                    _announce(sigma, denoised)
+                    return denoised, st
+
+            else:
+
+                def den_fn(x_, sigma, uc_scale, _inner=inner_den):
+                    denoised = _inner(x_, sigma, uc_scale)
+                    _announce(sigma, denoised)
+                    return denoised
+
+        kw_run = dict(kw)
+        if dc_state0 is not None:
+            kw_run["den_state"] = dc_state0
+        x0, _ = sample_fn(
+            den_fn, x, sigmas, uc_scales, key=key, noises=noises, **kw_run
+        )
         return x0
 
     return jax.jit(run, donate_argnums=(2,))

@@ -87,6 +87,21 @@ def _scan(body, x, n):
     return x_final, traj
 
 
+def _den2(den: Callable, stateful: bool) -> Callable:
+    """Normalize the denoiser to the stateful protocol
+    ``den(x, sigma, uc_scale, i, state) -> (denoised, state')``.
+
+    ``state`` is an optional pytree threaded through the sampling scan (the
+    DeepCache deep-feature cache — same protocol as ddim.sample_ddim /
+    sample_plms). A stateless ``den(x, sigma, uc_scale)`` is wrapped so the
+    scan bodies can carry the state slot uniformly; a ``None`` state is an
+    empty pytree and costs nothing in the carry.
+    """
+    if stateful:
+        return den
+    return lambda x, sigma, uc, i, st: (den(x, sigma, uc), None)
+
+
 def _uc(uc_scales, n):
     return jnp.asarray(
         np.broadcast_to(np.asarray(uc_scales, np.float64), (n,)), jnp.float32
@@ -97,7 +112,7 @@ def sample_euler(
     den: Callable, x: jax.Array, sigmas: np.ndarray, uc_scales,
     *, key=None, noises=None,
     s_churn: float = 0.0, s_tmin: float = 0.0, s_tmax: float = math.inf,
-    s_noise: float = 1.0,
+    s_noise: float = 1.0, den_state=None,
 ):
     """Karras Algorithm 2, Euler steps + churn (euler.py:24-57)."""
     n = len(sigmas) - 1
@@ -105,25 +120,29 @@ def sample_euler(
     gammas = jnp.asarray(_churn_gammas(sigmas, s_churn, s_tmin, s_tmax), jnp.float32)
     ucs = _uc(uc_scales, n)
     noise_at = _noise_source(key, noises, x.shape)
+    den2 = _den2(den, den_state is not None)
 
-    def body(x, i):
+    def body(carry, i):
+        x, st = carry
         gamma = gammas[i]
         sigma_hat = sig[i] * (gamma + 1)
         churn = noise_at(i, 1) * s_noise * jnp.sqrt(
             jnp.maximum(sigma_hat**2 - sig[i] ** 2, 0.0)
         )
         x = jnp.where(gamma > 0, x + churn, x)
-        denoised = den(x, sigma_hat, ucs[i])
+        denoised, st = den2(x, sigma_hat, ucs[i], i, st)
         d = _to_d(x, sigma_hat, denoised)
         x = x + d * (sig[i + 1] - sigma_hat)
-        return x, denoised
+        return (x, st), denoised
 
-    return _scan(body, x, n)
+    (x_final, _), traj = jax.lax.scan(body, (x, den_state), jnp.arange(n))
+    return x_final, traj
 
 
 def sample_euler_ancestral(
     den: Callable, x: jax.Array, sigmas: np.ndarray, uc_scales,
     *, key=None, noises=None, eta: float = 1.0, temperature: float = 1.0,
+    den_state=None,
 ):
     """Euler ancestral (euler.py:74-95)."""
     n = len(sigmas) - 1
@@ -133,22 +152,25 @@ def sample_euler_ancestral(
     up = jnp.asarray(up, jnp.float32)
     ucs = _uc(uc_scales, n)
     noise_at = _noise_source(key, noises, x.shape)
+    den2 = _den2(den, den_state is not None)
 
-    def body(x, i):
-        denoised = den(x, sig[i], ucs[i])
+    def body(carry, i):
+        x, st = carry
+        denoised, st = den2(x, sig[i], ucs[i], i, st)
         d = _to_d(x, sig[i], denoised)
         x = x + d * (down[i] - sig[i])
         x = x + noise_at(i) * up[i] * temperature
-        return x, denoised
+        return (x, st), denoised
 
-    return _scan(body, x, n)
+    (x_final, _), traj = jax.lax.scan(body, (x, den_state), jnp.arange(n))
+    return x_final, traj
 
 
 def sample_heun(
     den: Callable, x: jax.Array, sigmas: np.ndarray, uc_scales,
     *, key=None, noises=None,
     s_churn: float = 0.0, s_tmin: float = 0.0, s_tmax: float = math.inf,
-    s_noise: float = 1.0,
+    s_noise: float = 1.0, den_state=None,
 ):
     """Heun 2nd-order (huen.py:24-57); falls back to Euler on the last step."""
     n = len(sigmas) - 1
@@ -156,38 +178,41 @@ def sample_heun(
     gammas = jnp.asarray(_churn_gammas(sigmas, s_churn, s_tmin, s_tmax), jnp.float32)
     ucs = _uc(uc_scales, n)
     noise_at = _noise_source(key, noises, x.shape)
+    den2 = _den2(den, den_state is not None)
 
-    def body(x, i):
+    def body(carry, i):
+        x, st = carry
         gamma = gammas[i]
         sigma_hat = sig[i] * (gamma + 1)
         churn = noise_at(i, 1) * s_noise * jnp.sqrt(
             jnp.maximum(sigma_hat**2 - sig[i] ** 2, 0.0)
         )
         x = jnp.where(gamma > 0, x + churn, x)
-        denoised = den(x, sigma_hat, ucs[i])
+        denoised, st = den2(x, sigma_hat, ucs[i], i, st)
         d = _to_d(x, sigma_hat, denoised)
         dt = sig[i + 1] - sigma_hat
 
-        def euler(_):
-            return x + d * dt
+        def euler(st_):
+            return x + d * dt, st_
 
-        def heun(_):
+        def heun(st_):
             x_2 = x + d * dt
-            denoised_2 = den(x_2, sig[i + 1], ucs[i])
+            denoised_2, st_ = den2(x_2, sig[i + 1], ucs[i], i, st_)
             d_2 = _to_d(x_2, sig[i + 1], denoised_2)
-            return x + (d + d_2) / 2 * dt
+            return x + (d + d_2) / 2 * dt, st_
 
-        x = jax.lax.cond(sig[i + 1] == 0, euler, heun, None)
-        return x, denoised
+        x, st = jax.lax.cond(sig[i + 1] == 0, euler, heun, st)
+        return (x, st), denoised
 
-    return _scan(body, x, n)
+    (x_final, _), traj = jax.lax.scan(body, (x, den_state), jnp.arange(n))
+    return x_final, traj
 
 
 def sample_dpm2(
     den: Callable, x: jax.Array, sigmas: np.ndarray, uc_scales,
     *, key=None, noises=None,
     s_churn: float = 0.0, s_tmin: float = 0.0, s_tmax: float = math.inf,
-    s_noise: float = 1.0,
+    s_noise: float = 1.0, den_state=None,
 ):
     """DPM-Solver-2 midpoint with rho=3 midpoint selection (dpm2.py:22-53).
 
@@ -199,31 +224,34 @@ def sample_dpm2(
     gammas = jnp.asarray(_churn_gammas(sigmas, s_churn, s_tmin, s_tmax), jnp.float32)
     ucs = _uc(uc_scales, n)
     noise_at = _noise_source(key, noises, x.shape)
+    den2 = _den2(den, den_state is not None)
 
-    def body(x, i):
+    def body(carry, i):
+        x, st = carry
         gamma = gammas[i]
         sigma_hat = sig[i] * (gamma + 1)
         churn = noise_at(i, 1) * s_noise * jnp.sqrt(
             jnp.maximum(sigma_hat**2 - sig[i] ** 2, 0.0)
         )
         x = jnp.where(gamma > 0, x + churn, x)
-        denoised = den(x, sigma_hat, ucs[i])
+        denoised, st = den2(x, sigma_hat, ucs[i], i, st)
         d = _to_d(x, sigma_hat, denoised)
         sigma_mid = ((sigma_hat ** (1 / 3) + sig[i + 1] ** (1 / 3)) / 2) ** 3
         dt_1 = sigma_mid - sigma_hat
         dt_2 = sig[i + 1] - sigma_hat
         x_2 = x + d * dt_1
-        denoised_2 = den(x_2, sigma_mid, ucs[i])
+        denoised_2, st = den2(x_2, sigma_mid, ucs[i], i, st)
         d_2 = _to_d(x_2, sigma_mid, denoised_2)
         x = x + d_2 * dt_2
-        return x, denoised
+        return (x, st), denoised
 
-    return _scan(body, x, n)
+    (x_final, _), traj = jax.lax.scan(body, (x, den_state), jnp.arange(n))
+    return x_final, traj
 
 
 def sample_dpm2_ancestral(
     den: Callable, x: jax.Array, sigmas: np.ndarray, uc_scales,
-    *, key=None, noises=None, eta: float = 1.0,
+    *, key=None, noises=None, eta: float = 1.0, den_state=None,
 ):
     """DPM2 ancestral (dpm2.py:66-92)."""
     n = len(sigmas) - 1
@@ -233,38 +261,42 @@ def sample_dpm2_ancestral(
     up = jnp.asarray(up_np, jnp.float32)
     ucs = _uc(uc_scales, n)
     noise_at = _noise_source(key, noises, x.shape)
+    den2 = _den2(den, den_state is not None)
 
-    def body(x, i):
-        denoised = den(x, sig[i], ucs[i])
+    def body(carry, i):
+        x, st = carry
+        denoised, st = den2(x, sig[i], ucs[i], i, st)
         d = _to_d(x, sig[i], denoised)
         sigma_mid = ((sig[i] ** (1 / 3) + down[i] ** (1 / 3)) / 2) ** 3
         dt_1 = sigma_mid - sig[i]
         dt_2 = down[i] - sig[i]
         x_2 = x + d * dt_1
-        denoised_2 = den(x_2, sigma_mid, ucs[i])
+        denoised_2, st = den2(x_2, sigma_mid, ucs[i], i, st)
         d_2 = _to_d(x_2, sigma_mid, denoised_2)
         x = x + d_2 * dt_2
         x = x + noise_at(i) * up[i]
-        return x, denoised
+        return (x, st), denoised
 
-    return _scan(body, x, n)
+    (x_final, _), traj = jax.lax.scan(body, (x, den_state), jnp.arange(n))
+    return x_final, traj
 
 
 def sample_dpmpp_2m(
     den: Callable, x: jax.Array, sigmas: np.ndarray, uc_scales,
-    *, key=None, noises=None,
+    *, key=None, noises=None, den_state=None,
 ):
     """DPM-Solver++(2M) multistep in t = -log(sigma) space (dpmpp.py:22-57)."""
     n = len(sigmas) - 1
     sig = jnp.asarray(sigmas, jnp.float32)
     ucs = _uc(uc_scales, n)
+    den2 = _den2(den, den_state is not None)
 
     t_of = lambda s: -jnp.log(s)  # noqa: E731
     sig_of = lambda t: jnp.exp(-t)  # noqa: E731
 
     def body(carry, i):
-        x, old_denoised = carry
-        denoised = den(x, sig[i], ucs[i])
+        x, old_denoised, st = carry
+        denoised, st = den2(x, sig[i], ucs[i], i, st)
         t, t_next = t_of(sig[i]), t_of(sig[i + 1])
         h = t_next - t
         x_first = (sig_of(t_next) / sig_of(t)) * x - jnp.expm1(-h) * denoised
@@ -280,10 +312,10 @@ def sample_dpmpp_2m(
 
         use_first = jnp.logical_or(i == 0, sig[i + 1] == 0)
         x = jnp.where(use_first, x_first, x_multi)
-        return (x, denoised), denoised
+        return (x, denoised, st), denoised
 
-    (x_final, _), traj = jax.lax.scan(
-        body, (x, jnp.zeros_like(x)), jnp.arange(n)
+    (x_final, _, _), traj = jax.lax.scan(
+        body, (x, jnp.zeros_like(x), den_state), jnp.arange(n)
     )
     return x_final, traj
 
@@ -291,6 +323,7 @@ def sample_dpmpp_2m(
 def sample_dpmpp_2s_ancestral(
     den: Callable, x: jax.Array, sigmas: np.ndarray, uc_scales,
     *, key=None, noises=None, eta: float = 1.0, temperature: float = 1.0,
+    den_state=None,
 ):
     """DPM-Solver++(2S) ancestral (dpmpp.py:71-113)."""
     n = len(sigmas) - 1
@@ -300,32 +333,38 @@ def sample_dpmpp_2s_ancestral(
     up = jnp.asarray(up_np, jnp.float32)
     ucs = _uc(uc_scales, n)
     noise_at = _noise_source(key, noises, x.shape)
+    den2 = _den2(den, den_state is not None)
 
     t_of = lambda s: -jnp.log(s)  # noqa: E731
     sig_of = lambda t: jnp.exp(-t)  # noqa: E731
 
-    def body(x, i):
-        denoised = den(x, sig[i], ucs[i])
+    def body(carry, i):
+        x, st = carry
+        denoised, st = den2(x, sig[i], ucs[i], i, st)
 
-        def euler(_):
+        def euler(st_):
             d = _to_d(x, sig[i], denoised)
-            return x + d * (down[i] - sig[i])
+            return x + d * (down[i] - sig[i]), st_
 
-        def dpm_2s(_):
+        def dpm_2s(st_):
             down_safe = jnp.maximum(down[i], 1e-10)
             t, t_next = t_of(sig[i]), t_of(down_safe)
             r = 1 / 2
             h = t_next - t
             s_mid = t + r * h
             x_2 = (sig_of(s_mid) / sig_of(t)) * x - jnp.expm1(-h * r) * denoised
-            denoised_2 = den(x_2, sig_of(s_mid), ucs[i])
-            return (sig_of(t_next) / sig_of(t)) * x - jnp.expm1(-h) * denoised_2
+            denoised_2, st_ = den2(x_2, sig_of(s_mid), ucs[i], i, st_)
+            return (
+                (sig_of(t_next) / sig_of(t)) * x - jnp.expm1(-h) * denoised_2,
+                st_,
+            )
 
-        x = jax.lax.cond(down[i] == 0, euler, dpm_2s, None)
+        x, st = jax.lax.cond(down[i] == 0, euler, dpm_2s, st)
         x = x + noise_at(i) * up[i] * temperature
-        return x, denoised
+        return (x, st), denoised
 
-    return _scan(body, x, n)
+    (x_final, _), traj = jax.lax.scan(body, (x, den_state), jnp.arange(n))
+    return x_final, traj
 
 
 def lms_coefficients(sigmas: np.ndarray, order: int = 4) -> np.ndarray:
@@ -357,7 +396,7 @@ def lms_coefficients(sigmas: np.ndarray, order: int = 4) -> np.ndarray:
 
 def sample_lms(
     den: Callable, x: jax.Array, sigmas: np.ndarray, uc_scales,
-    *, key=None, noises=None, order: int = 4,
+    *, key=None, noises=None, order: int = 4, den_state=None,
 ):
     """Linear multistep (lms.py:25-50): derivative ring buffer, integrated
     coefficients."""
@@ -365,18 +404,19 @@ def sample_lms(
     sig = jnp.asarray(sigmas, jnp.float32)
     coeffs = jnp.asarray(lms_coefficients(np.asarray(sigmas, np.float64), order), jnp.float32)
     ucs = _uc(uc_scales, n)
+    den2 = _den2(den, den_state is not None)
 
     def body(carry, i):
-        x, ds = carry  # ds[0] = newest derivative
-        denoised = den(x, sig[i], ucs[i])
+        x, ds, st = carry  # ds[0] = newest derivative
+        denoised, st = den2(x, sig[i], ucs[i], i, st)
         d = _to_d(x, sig[i], denoised)
         ds = jnp.roll(ds, 1, axis=0).at[0].set(d)
         # coeffs row already zero-padded beyond the current order
         x = x + jnp.tensordot(coeffs[i], ds, axes=1)
-        return (x, ds), denoised
+        return (x, ds, st), denoised
 
     ds0 = jnp.zeros((order,) + x.shape, x.dtype)
-    (x_final, _), traj = jax.lax.scan(body, (x, ds0), jnp.arange(n))
+    (x_final, _, _), traj = jax.lax.scan(body, (x, ds0, den_state), jnp.arange(n))
     return x_final, traj
 
 

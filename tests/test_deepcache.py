@@ -104,9 +104,20 @@ class TestUNetSplit:
 
 
 class TestRenderConfigValidation:
-    def test_requires_ddim(self):
-        with pytest.raises(ValueError, match="DDIM"):
-            RenderConfig(sampler="Euler", deepcache_interval=2)
+    @pytest.mark.parametrize(
+        "name", ["DPM Fast", "DPM Adaptive", "UniPC", "dpm_solver", "iPNDM"]
+    )
+    def test_unsupported_samplers_rejected(self, name):
+        with pytest.raises(ValueError, match="not supported"):
+            RenderConfig(sampler=name, deepcache_interval=2)
+
+    @pytest.mark.parametrize(
+        "name",
+        ["DDIM", "PLMS", "Euler", "Euler Ancestral", "Heun", "Huen",
+         "DPM2", "DPM2 Ancestral", "DPM++ 2m", "DPM++ 2s Ancestral", "LMS"],
+    )
+    def test_supported_samplers_accepted(self, name):
+        RenderConfig(sampler=name, deepcache_interval=2)
 
     def test_incompatible_with_tile(self):
         with pytest.raises(ValueError, match="unet_tile"):
@@ -190,6 +201,58 @@ class TestPipeline:
         )
         assert np.isfinite(np.asarray(x_dc)).all()
         assert not np.array_equal(np.asarray(x_dc), np.asarray(x_exact))
+
+    @pytest.mark.parametrize(
+        "name",
+        ["Euler", "Euler Ancestral", "Heun", "DPM2", "DPM2 Ancestral",
+         "DPM++ 2m", "DPM++ 2s Ancestral", "LMS"],
+    )
+    def test_kdiff_runs_and_differs(self, bundle, name):
+        # the den_state threads the k-diffusion scans (incl. the lax.cond
+        # second evals in Heun/DPM2/2S)
+        spec, noises, x_T = self._spec_and_noise(bundle)
+        kw = dict(width=64, height=64, batch_size=1, steps=4, sampler=name)
+        x_exact = sample_latents(
+            bundle, spec, RenderConfig(**kw),
+            x_init=jnp.array(x_T), noises=noises,
+        )
+        x_dc = sample_latents(
+            bundle, spec, RenderConfig(deepcache_interval=2, **kw),
+            x_init=jnp.array(x_T), noises=noises,
+        )
+        assert np.isfinite(np.asarray(x_dc)).all()
+        assert not np.array_equal(np.asarray(x_dc), np.asarray(x_exact))
+
+    def test_kdiff_interval1_equivalent_path_full_every_step(self, bundle):
+        # steps=2, interval=2: step 0 full, step 1 shallow; Euler's first
+        # step with interval covering all evals (steps=1) matches exact
+        spec, noises, x_T = self._spec_and_noise(bundle)
+        kw = dict(width=64, height=64, batch_size=1, steps=1, sampler="Euler")
+        x_exact = sample_latents(
+            bundle, spec, RenderConfig(**kw),
+            x_init=jnp.array(x_T), noises=noises[:1],
+        )
+        x_dc = sample_latents(
+            bundle, spec, RenderConfig(deepcache_interval=2, **kw),
+            x_init=jnp.array(x_T), noises=noises[:1],
+        )
+        np.testing.assert_allclose(
+            np.asarray(x_dc), np.asarray(x_exact), rtol=0, atol=1e-5
+        )
+
+    def test_kdiff_vparam(self, bundle):
+        # sigma-space v-param conversion composes with the cached branches
+        vb = dataclasses.replace(bundle, parameterization="v")
+        spec, noises, x_T = self._spec_and_noise(bundle)
+        x_dc = sample_latents(
+            vb, spec,
+            RenderConfig(
+                width=64, height=64, batch_size=1, steps=2,
+                sampler="DPM++ 2m", deepcache_interval=2,
+            ),
+            x_init=jnp.array(x_T), noises=noises[:2],
+        )
+        assert np.isfinite(np.asarray(x_dc)).all()
 
     def test_custom_block(self, bundle):
         spec, noises, x_T = self._spec_and_noise(bundle)
