@@ -266,6 +266,24 @@ class TestPipeline:
         )
         assert np.isfinite(np.asarray(x_dc)).all()
 
+    @pytest.mark.parametrize("name", ["DDIM", "Euler"])
+    def test_img2img_composes(self, bundle, name):
+        # partial-chain entry (t_start) with the cache: i is the 0-based
+        # RUN iteration, so the first executed step is always a full pass
+        from complex_prompt_diffusion_tpu.pipeline import img2img
+
+        rs = np.random.RandomState(3)
+        img = rs.randint(0, 255, (16, 16, 3), np.uint8)
+        _, lat = img2img(
+            bundle, img, "x",
+            cfg=RenderConfig(
+                width=64, height=64, steps=4, denoising_strength=0.6,
+                sampler=name, deepcache_interval=2,
+            ),
+            decode=False,
+        )
+        assert np.isfinite(np.asarray(lat)).all()
+
     def test_vparam_bundle(self, bundle):
         # v-parameterization conversion composes with the cached branches
         vb = dataclasses.replace(bundle, parameterization="v")
