@@ -11,8 +11,8 @@ Reference parity targets:
 """
 
 from complex_prompt_diffusion_tpu.models.unet import (
-    UNetConfig, deepcache_default_block, init_unet, precompute_cross_kv,
-    unet_apply,
+    UNetConfig, deepcache_default_block, init_unet, make_deepcache_unets,
+    precompute_cross_kv, unet_apply,
 )
 from complex_prompt_diffusion_tpu.models.vae import (
     VAEConfig,
@@ -38,6 +38,7 @@ __all__ = [
     "unet_apply",
     "precompute_cross_kv",
     "deepcache_default_block",
+    "make_deepcache_unets",
     "VAEConfig",
     "init_vae",
     "vae_encode",

@@ -39,8 +39,11 @@ _PALLAS_CONV = _os.environ.get("CPD_TPU_PALLAS_CONV", "auto")
 # one padded copy (no im2col materialization). Pure-XLA alternative lowering
 # measured against XLA's native conv (scripts/perf_conv4.py, min-of-3 whole
 # fori_loop): wins ONLY on the starved 64^2 plane at small batch (B2 1.05x;
-# B8 0.60x), ties/loses everywhere else. "auto" routes 64^2 stride-1 3x3 at
-# UNet batch <= 4; "0" disables; "1" forces it for every stride-1 3x3.
+# B8 0.60x), ties/loses everywhere else — including every LARGER plane
+# (B4: 128^2 0.63-0.65x, 256^2 0.42x, 512^2 0.33x — `perf_conv4.py 4 big`),
+# so the gate matches the measured win exactly instead of extrapolating
+# upward. "auto" routes 64^2 stride-1 3x3 at UNet batch <= 4; "0" disables;
+# "1" forces it for every stride-1 3x3.
 _TAPSUM_CONV = _os.environ.get("CPD_TPU_TAPSUM_CONV", "auto")
 
 # conv1x1 as a plain channel contraction (dot_general) instead of XLA's
@@ -68,7 +71,7 @@ def _tapsum_conv_wanted(x_shape) -> bool:
         return True
     if _TAPSUM_CONV == "auto":
         b, h, w, _ = x_shape
-        return b <= 4 and h * w >= 4096
+        return b <= 4 and h * w == 4096
     return False
 
 

@@ -488,6 +488,41 @@ def deepcache_default_block(cfg: UNetConfig) -> int:
     return len(output_plan) - (cfg.res_blocks_per_level[0] + 1)
 
 
+def make_deepcache_unets(cfg: UNetConfig, params, block, *, cross_kv=None):
+    """Build the DeepCache closure pair (one source of truth for the
+    full/shallow wiring used by both pipeline sampler families and bench):
+
+      * ``unet_full(x, t, ctx) -> (raw_out, deep)`` — full pass, returns the
+        deep feature entering output block ``block``.
+      * ``unet_shallow(x, t, ctx, deep) -> raw_out`` — retrieval pass, runs
+        only the blocks after the split against the carried feature.
+
+    ``block=None`` resolves to :func:`deepcache_default_block`. Raw model
+    output — v-param conversion stays with the caller (eps-level for the
+    t-family, denoised-level for the sigma family). Validates the split
+    index at build time (clean error instead of a mid-trace shape mismatch).
+    """
+    n_out = len(build_plan(cfg)[2])
+    j0 = deepcache_default_block(cfg) if block is None else int(block)
+    if not 0 <= j0 < n_out:
+        raise ValueError(
+            f"deepcache_block={j0} out of range (0..{n_out - 1})"
+        )
+
+    def unet_full(x, t, ctx):
+        return unet_apply(
+            cfg, params, x, t, ctx, cross_kv=cross_kv, return_deep_at=j0
+        )
+
+    def unet_shallow(x, t, ctx, deep):
+        return unet_apply(
+            cfg, params, x, t, ctx,
+            cross_kv=cross_kv, deep_feature=deep, deep_at=j0,
+        )
+
+    return unet_full, unet_shallow
+
+
 def _kv_counts(cfg: UNetConfig):
     """Cross-attention k/v cache entries contributed by each plan segment
     (plan order: input blocks, middle, output blocks) — used to align a
@@ -764,6 +799,11 @@ def unet_apply(
     if shallow:
         if deep_at is None:
             raise ValueError("deep_feature requires deep_at")
+        if not 0 <= deep_at < len(output_plan):
+            raise ValueError(
+                f"deep_at={deep_at} out of range "
+                f"(0..{len(output_plan) - 1})"
+            )
         if (
             return_skips or return_feats or collect_attn_maps
             or inject_skips is not None or inject_feats is not None

@@ -653,6 +653,8 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
+    if use_pallas == "interpret":  # ShardCtx.local_use_pallas sentinel
+        use_pallas, interpret = True, True
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if kv <= 128 and not interpret:
@@ -730,6 +732,7 @@ def attention(
     num_heads: int,
     scale: Optional[float] = None,
     use_pallas=None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Attention over [B, S, H*D] tensors (the SpatialTransformer layout,
     reference attention.py:280-348). Splits heads, runs flash attention,
@@ -749,16 +752,21 @@ def attention(
 
     if isinstance(use_pallas, ShardCtx):
         return _sharded_attention(q, k, v, num_heads, scale, use_pallas)
+    if use_pallas == "interpret":  # ShardCtx.local_use_pallas sentinel
+        use_pallas, interpret = True, True
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and 128 < kv <= _ONEPASS_MAX_KV and d <= 256:
         # d-cap mirrors mha(): wide heads (VAE mid-block d=512) OOM the
         # whole-KV-resident kernel's VMEM at bf16; streaming tiles them.
         bq = _onepass_block_q(sq, kv)
-        return _onepass_merged_diff(scale, bq, num_heads, False)(q, k, v)
+        return _onepass_merged_diff(scale, bq, num_heads, interpret)(q, k, v)
 
     def split(x):
         return x.reshape(b, x.shape[1], num_heads, d).transpose(0, 2, 1, 3)
 
-    out = flash_attention(split(q), split(k), split(v), scale, use_pallas=use_pallas)
+    out = flash_attention(
+        split(q), split(k), split(v), scale,
+        use_pallas=use_pallas, interpret=interpret,
+    )
     return out.transpose(0, 2, 1, 3).reshape(b, sq, inner)

@@ -525,6 +525,8 @@ def _dispatch(x, gamma, beta, num_groups, eps, silu, use_pallas, interpret=False
         raise ValueError(f"channels {x.shape[-1]} not divisible by {num_groups} groups")
     from complex_prompt_diffusion_tpu.ops.sharding import ShardCtx
 
+    if use_pallas == "interpret":  # ShardCtx.local_use_pallas sentinel
+        use_pallas, interpret = True, True
     if isinstance(use_pallas, ShardCtx):
         if _use_xla_mm(x, interpret):
             # pure-XLA impl: GSPMD shards the batch-parallel stats natively,

@@ -178,6 +178,8 @@ def geglu_ff(x, w1, b1, w2, b2, *, use_pallas=None, interpret: bool = False):
             out_specs=spec,
             check_vma=False,
         )(x, w1, b1, w2, b2)
+    if use_pallas == "interpret":  # ShardCtx.local_use_pallas sentinel
+        use_pallas, interpret = True, True
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     # kernel wants lane-aligned chunk splits and a VMEM-sized weight slice

@@ -49,8 +49,14 @@ class ShardCtx:
         return self.mesh.shape[name]
 
     def local_use_pallas(self):
-        """use_pallas value for the per-shard kernel call inside shard_map."""
-        return True if self.interpret else None
+        """use_pallas value for the per-shard kernel call inside shard_map.
+
+        Returns the ``"interpret"`` sentinel when this ctx is in interpret
+        mode so consumers that only receive a use_pallas channel (the tiled
+        UNet's local config, the non-divisible attention fallback) keep the
+        interpret flag instead of lowering real Mosaic kernels on CPU.
+        """
+        return "interpret" if self.interpret else None
 
 
 def axis_if_divisible(ctx: ShardCtx, name: Optional[str], dim: int):

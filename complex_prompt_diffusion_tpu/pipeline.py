@@ -415,6 +415,21 @@ def _build_sampler_fn(
             bundle.unet_cfg, unet_params, stacked_context(spec, batch)
         )
 
+    def _deepcache_setup(unet_params, hoisted_kv, x, spec, depth_mask):
+        """(raw unet_full, raw unet_shallow, zero deep-feature state) —
+        shared between the t- and sigma-family run builders."""
+        unet_full, unet_shallow = M.make_deepcache_unets(
+            bundle.unet_cfg, unet_params, cfg.deepcache_block,
+            cross_kv=hoisted_kv,
+        )
+        deep_sd = jax.eval_shape(
+            lambda x_, sp, dm: unet_full(
+                *_batched_inputs(x_, jnp.zeros((), jnp.float32), sp, dm)
+            )[1],
+            x, spec, depth_mask,
+        )
+        return unet_full, unet_shallow, jnp.zeros(deep_sd.shape, deep_sd.dtype)
+
     if family == "t":
         itables = S.make_inference_tables(
             bundle.tables, cfg.steps, eta=cfg.eta, discretize=cfg.discretize
@@ -561,38 +576,24 @@ def _build_sampler_fn(
             # DeepCache (opt-in approximate; models/unet.py docstring):
             # the deep feature rides the scan carry; full UNet every
             # `interval`-th step, shallow retrieval pass in between.
-            # RenderConfig validation guarantees DDIM + no attn/CLIP
-            # guidance, so eps_fn == base_eps here.
+            # RenderConfig validation guarantees a supported sampler + no
+            # attn/CLIP guidance, so eps_fn == base_eps here.
             dc_state0 = None
             if cfg.deepcache_interval >= 2:
-                j0 = (
-                    cfg.deepcache_block
-                    if cfg.deepcache_block is not None
-                    else M.deepcache_default_block(bundle.unet_cfg)
-                )
                 interval = cfg.deepcache_interval
+                raw_full, raw_shallow, dc_state0 = _deepcache_setup(
+                    unet_params, hoisted_kv, x_T, spec, depth_mask
+                )
 
+                # v-param conversion at the eps level (t-family contract)
                 def unet_full(x_in, t_in, ctx_):
-                    out, deep = M.unet_apply(
-                        bundle.unet_cfg, unet_params, x_in, t_in, ctx_,
-                        cross_kv=hoisted_kv, return_deep_at=j0,
-                    )
+                    out, deep = raw_full(x_in, t_in, ctx_)
                     return _to_eps(out, x_in, t_in), deep
 
                 def unet_shallow(x_in, t_in, ctx_, deep):
-                    out = M.unet_apply(
-                        bundle.unet_cfg, unet_params, x_in, t_in, ctx_,
-                        cross_kv=hoisted_kv, deep_feature=deep, deep_at=j0,
+                    return _to_eps(
+                        raw_shallow(x_in, t_in, ctx_, deep), x_in, t_in
                     )
-                    return _to_eps(out, x_in, t_in)
-
-                deep_sd = jax.eval_shape(
-                    lambda x_, sp, dm: unet_full(
-                        *_batched_inputs(x_, jnp.zeros((), jnp.float32), sp, dm)
-                    )[1],
-                    x_T, spec, depth_mask,
-                )
-                dc_state0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
 
                 def eps_fn(x, t, uc_scale, blur_on, i, deep):
                     return cfg_epsilon_deepcache(

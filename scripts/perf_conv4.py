@@ -94,6 +94,15 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 ITERS = 10 * max(1, 8 // B)
 if len(sys.argv) > 2 and sys.argv[2] == "8x8":
     case(B, 8, 8, 1280, 1280)
+elif len(sys.argv) > 2 and sys.argv[2] == "big":
+    # the planes the ">= 4096" auto-gate ALSO admitted without measurement:
+    # VAE decoder resolutions (512 latents decode through 128..512 planes)
+    # and the 128^2 level-0 planes of untiled 1024^2 renders
+    ITERS = 2
+    case(B, 128, 128, 320, 320)
+    case(B, 128, 128, 512, 512)
+    case(B, 256, 256, 256, 256)
+    case(B, 512, 512, 128, 128)
 else:
     case(B, 64, 64, 320, 320)
     case(B, 32, 32, 640, 640)

@@ -168,6 +168,55 @@ def _ref_group_norm(x, gamma, beta, groups, eps):
     return y * np.asarray(gamma, np.float64) + np.asarray(beta, np.float64)
 
 
+class TestInterpretSentinel:
+    """ShardCtx.local_use_pallas() returns "interpret" so the interpret flag
+    survives paths that only carry a use_pallas channel (the non-divisible
+    sharded-attention fallback, the tiled UNet's local config). Before the
+    fix these lowered REAL Mosaic kernels on CPU and failed to trace."""
+
+    def _qkv(self, b, heads, s, d, kv=None):
+        rs = np.random.RandomState(0)
+        kv = kv or s
+        q = jnp.asarray(rs.randn(b, s, heads * d), jnp.float32)
+        k = jnp.asarray(rs.randn(b, kv, heads * d), jnp.float32)
+        v = jnp.asarray(rs.randn(b, kv, heads * d), jnp.float32)
+        return q, k, v
+
+    def test_attention_interpret_sentinel(self):
+        q, k, v = self._qkv(2, 2, 256, 64)
+        out = ops.attention(q, k, v, num_heads=2, use_pallas="interpret")
+        ref = ops.attention(q, k, v, num_heads=2, use_pallas=False)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_sharded_attention_nondivisible_fallback(self):
+        # batch 3 not divisible by data=8, heads 3 not divisible by model=2,
+        # kv > 128: the fallback calls attention() with the ctx's local
+        # use_pallas — must run in interpret mode on CPU, not real Mosaic
+        from complex_prompt_diffusion_tpu.ops.sharding import ShardCtx
+        from complex_prompt_diffusion_tpu.parallel.mesh import make_mesh
+
+        ctx = ShardCtx(make_mesh(model=2), interpret=True)
+        q, k, v = self._qkv(3, 3, 256, 64)
+        out = ops.attention(q, k, v, num_heads=3, use_pallas=ctx)
+        ref = ops.attention(q, k, v, num_heads=3, use_pallas=False)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_groupnorm_interpret_sentinel(self):
+        rs = np.random.RandomState(1)
+        x = jnp.asarray(rs.randn(2, 8, 8, 64), jnp.float32)
+        g = jnp.asarray(rs.randn(64), jnp.float32)
+        b = jnp.asarray(rs.randn(64), jnp.float32)
+        out = ops.group_norm(x, g, b, num_groups=32, use_pallas="interpret")
+        ref = ops.group_norm(x, g, b, num_groups=32, use_pallas=False)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+
 class TestGroupNorm:
     def _data(self, n=2, h=8, w=8, c=128):
         key = jax.random.PRNGKey(0)
