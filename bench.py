@@ -100,12 +100,18 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=50)
     # batch 4 is this chip's measured throughput sweet spot (b1: 1.04,
-    # b4: 1.44, b8: ~1.39 img/s — docs/PERF.md round-3 batch tables)
+    # b4: 1.47; b8 ties b4 via auto megabatch chunking — docs/PERF.md
+    # round-3 batch tables)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
         "--unroll", type=int, default=1,
         help="lax.scan unroll factor for the sampling loop (A/B knob)",
+    )
+    ap.add_argument(
+        "--unet-chunk", dest="unet_chunk", type=int, default=0,
+        help="max UNet sub-batch per call (0 = auto: 8 on TPU; -1 = never "
+        "split; pipeline RenderConfig.unet_batch_chunk semantics)",
     )
     ap.add_argument(
         "--e2e", action="store_true",
@@ -231,7 +237,27 @@ def bench_scan(args):
             )
             return x0
 
+        # Megabatch chunking (mirrors pipeline RenderConfig.unet_batch_chunk
+        # auto dispatch): the UNet-batch-8 schedule is this chip's
+        # throughput optimum; wider single calls are superlinearly slower
+        # (PERF.md batch-8 root cause; scripts/perf_batch_split.py).
+        chunk = args.unet_chunk
+        if chunk == 0:
+            chunk = 8 if on_tpu else -1
+
         def unet_eps(x, t, ctx):
+            b = x.shape[0]
+            if chunk > 0 and b > chunk:
+                outs = []
+                for lo in range(0, b, chunk):
+                    sl = slice(lo, min(lo + chunk, b))
+                    kv_i = jax.tree.map(lambda a: a[sl], kv)
+                    outs.append(
+                        M.unet_apply(
+                            unet_cfg, p, x[sl], t[sl], ctx[sl], cross_kv=kv_i
+                        )
+                    )
+                return jnp.concatenate(outs, axis=0)
             return M.unet_apply(unet_cfg, p, x, t, ctx, cross_kv=kv)
 
         eps_fn, _ = make_denoiser(unet_eps, spec, gcfg=gcfg)

@@ -231,9 +231,22 @@ class RenderConfig:
     # first block of the shallowest level, deepcache_default_block)
     deepcache_interval: int = 0
     deepcache_block: Optional[int] = None
+    # Max UNet sub-batch per call. CFG megabatches ((1+K)*batch) larger than
+    # this are split into SEQUENTIAL UNet calls inside the jit'd step: on
+    # this chip the UNet-batch-8 schedule is the throughput optimum and a
+    # single wider call is superlinearly slower (VMEM-pressure scheduling at
+    # >=128 attention grid rows — PERF.md batch-8 root cause; measured B16:
+    # one call 14.74 ms/img vs 2x B8 13.85, scripts/perf_batch_split.py).
+    # 0 = auto (8 on TPU, off elsewhere); -1 = never split; n>=1 = explicit.
+    # No reference counterpart (perf dispatch only — bit-exact either way).
+    unet_batch_chunk: int = 0
     guidance: GuidanceConfig = GuidanceConfig()
 
     def __post_init__(self):
+        if self.unet_batch_chunk < -1:
+            raise ValueError(
+                f"unet_batch_chunk must be >= -1, got {self.unet_batch_chunk}"
+            )
         if self.tome_ratio > 0.0 and self.tome_mode not in (
             "downsample", "merge"
         ):
@@ -378,7 +391,33 @@ def _build_sampler_fn(
                     unet_cfg, use_pallas=ctx.local_use_pallas()
                 )
 
+        # Megabatch chunking (RenderConfig.unet_batch_chunk): disabled for
+        # tiled inference (tiles already batch via unet_tile_chunk) and for
+        # sharded bundles (GSPMD lays the batch over the data axis; slicing
+        # the global batch would fight the sharding).
+        chunk = cfg.unet_batch_chunk
+        if chunk == 0:
+            chunk = 8 if jax.default_backend() == "tpu" else -1
+        if cfg.unet_tile or isinstance(bundle.unet_cfg.use_pallas, ShardCtx):
+            chunk = -1
+
         def unet_eps(x, t, ctx_):
+            b = x.shape[0]
+            if chunk > 0 and b > chunk:
+                outs = []
+                for lo in range(0, b, chunk):
+                    sl = slice(lo, min(lo + chunk, b))
+                    kv = (
+                        None if cross_kv is None
+                        else jax.tree.map(lambda a: a[sl], cross_kv)
+                    )
+                    outs.append(
+                        M.unet_apply(
+                            unet_cfg, unet_params, x[sl], t[sl], ctx_[sl],
+                            cross_kv=kv,
+                        )
+                    )
+                return jnp.concatenate(outs, axis=0)
             return M.unet_apply(
                 unet_cfg, unet_params, x, t, ctx_, cross_kv=cross_kv
             )
@@ -734,31 +773,9 @@ def _build_sampler_fn(
                 make_denoiser_deepcache,
             )
 
-            j0 = (
-                cfg.deepcache_block
-                if cfg.deepcache_block is not None
-                else M.deepcache_default_block(bundle.unet_cfg)
+            unet_full, unet_shallow, dc_state0 = _deepcache_setup(
+                unet_params, hoisted_kv, x, spec, depth_mask
             )
-
-            def unet_full(x_in, t_in, ctx_):
-                return M.unet_apply(
-                    bundle.unet_cfg, unet_params, x_in, t_in, ctx_,
-                    cross_kv=hoisted_kv, return_deep_at=j0,
-                )
-
-            def unet_shallow(x_in, t_in, ctx_, deep):
-                return M.unet_apply(
-                    bundle.unet_cfg, unet_params, x_in, t_in, ctx_,
-                    cross_kv=hoisted_kv, deep_feature=deep, deep_at=j0,
-                )
-
-            deep_sd = jax.eval_shape(
-                lambda x_, sp, dm: unet_full(
-                    *_batched_inputs(x_, jnp.zeros((), jnp.float32), sp, dm)
-                )[1],
-                x, spec, depth_mask,
-            )
-            dc_state0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
             den_fn = make_denoiser_deepcache(
                 unet_full, unet_shallow, spec,
                 interval=cfg.deepcache_interval, gcfg=cfg.guidance,

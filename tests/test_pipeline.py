@@ -125,6 +125,49 @@ class TestImg2Img:
         assert dists[0] < dists[1] < dists[2], dists
 
 
+class TestUnetBatchChunk:
+    """RenderConfig.unet_batch_chunk splits the CFG megabatch into
+    sequential UNet calls (the UNet-batch-8 schedule is the chip's
+    throughput optimum, PERF.md batch-8 root cause). Must be numerically
+    equivalent to the single wide call."""
+
+    def test_chunked_matches_unchunked(self, bundle):
+        # batch 3 + CFG -> megabatch 6; chunk 4 -> uneven [4, 2] sub-calls
+        # (covers the remainder chunk), incl. the hoisted cross-kv slicing
+        _, ref = txt2img(
+            bundle, "a cat", "blurry",
+            cfg=_cfg(batch_size=3, unet_batch_chunk=-1), decode=False,
+        )
+        _, out = txt2img(
+            bundle, "a cat", "blurry",
+            cfg=_cfg(batch_size=3, unet_batch_chunk=4), decode=False,
+        )
+        # reassociation noise only (latent scale ~40): a slicing bug
+        # would show O(1) differences
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-3
+        )
+
+    def test_sigma_family_chunked(self, bundle):
+        _, ref = txt2img(
+            bundle, "a cat",
+            cfg=_cfg(sampler="Euler", batch_size=2, unet_batch_chunk=-1),
+            decode=False,
+        )
+        _, out = txt2img(
+            bundle, "a cat",
+            cfg=_cfg(sampler="Euler", batch_size=2, unet_batch_chunk=2),
+            decode=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-3
+        )
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="unet_batch_chunk"):
+            _cfg(unet_batch_chunk=-2)
+
+
 class TestInpaintModel:
     """Finetuned inpaint family (LatentInpaintDiffusion, ddpm.py:1802)."""
 
