@@ -205,18 +205,12 @@ def bench_scan(args):
                 _batched_inputs, cfg_epsilon_deepcache,
             )
 
-            j0 = M.deepcache_default_block(unet_cfg)
-
-            def unet_full(x, t, ctx):
-                return M.unet_apply(
-                    unet_cfg, p, x, t, ctx, cross_kv=kv, return_deep_at=j0
-                )
-
-            def unet_shallow(x, t, ctx, deep):
-                return M.unet_apply(
-                    unet_cfg, p, x, t, ctx,
-                    cross_kv=kv, deep_feature=deep, deep_at=j0,
-                )
+            chunk = args.unet_chunk
+            if chunk == 0:
+                chunk = 8 if on_tpu else -1
+            unet_full, unet_shallow = M.make_deepcache_unets(
+                unet_cfg, p, None, cross_kv=kv, batch_chunk=chunk
+            )
 
             deep_sd = jax.eval_shape(
                 lambda x_: unet_full(

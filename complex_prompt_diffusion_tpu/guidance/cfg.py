@@ -296,6 +296,12 @@ def make_denoiser_deepcache(
     Same input-scaling / v-param contract as make_denoiser's denoised_fn
     (the reference Denoiser.forward, extension/denoiser.py:362-393,528-542).
     """
+    if model_sigmas is None:
+        # mirror make_denoiser.denoised_fn's explicit contract: without the
+        # model sigma table the sigma->t mapping is undefined (misuse would
+        # otherwise surface as a cryptic jnp.asarray(None) inside
+        # sigma_to_t_cont mid-trace)
+        raise ValueError("make_denoiser_deepcache requires model_sigmas")
 
     def den_fn(x, sigma, uc_scale, i, deep):
         sigma = jnp.asarray(sigma, jnp.float32)

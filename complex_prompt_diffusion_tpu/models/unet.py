@@ -488,7 +488,9 @@ def deepcache_default_block(cfg: UNetConfig) -> int:
     return len(output_plan) - (cfg.res_blocks_per_level[0] + 1)
 
 
-def make_deepcache_unets(cfg: UNetConfig, params, block, *, cross_kv=None):
+def make_deepcache_unets(
+    cfg: UNetConfig, params, block, *, cross_kv=None, batch_chunk: int = -1
+):
     """Build the DeepCache closure pair (one source of truth for the
     full/shallow wiring used by both pipeline sampler families and bench):
 
@@ -501,6 +503,14 @@ def make_deepcache_unets(cfg: UNetConfig, params, block, *, cross_kv=None):
     output — v-param conversion stays with the caller (eps-level for the
     t-family, denoised-level for the sigma family). Validates the split
     index at build time (clean error instead of a mid-trace shape mismatch).
+
+    ``batch_chunk``: max UNet sub-batch per call (RenderConfig
+    .unet_batch_chunk semantics, resolved by the caller; <= 0 = one wide
+    call). CFG megabatches wider than this split into sequential calls —
+    x/t/ctx/cross_kv AND the deep feature slice along batch, so the
+    chunked pair is bit-equivalent to the wide call (the B8 scheduling
+    optimum applies to the retrieval passes too; docs/PERF.md batch-8
+    root cause).
     """
     n_out = len(build_plan(cfg)[2])
     j0 = deepcache_default_block(cfg) if block is None else int(block)
@@ -509,12 +519,43 @@ def make_deepcache_unets(cfg: UNetConfig, params, block, *, cross_kv=None):
             f"deepcache_block={j0} out of range (0..{n_out - 1})"
         )
 
+    def _kv_slice(sl):
+        return (
+            None if cross_kv is None
+            else jax.tree.map(lambda a: a[sl], cross_kv)
+        )
+
     def unet_full(x, t, ctx):
+        b = x.shape[0]
+        if batch_chunk > 0 and b > batch_chunk:
+            outs, deeps = [], []
+            for lo in range(0, b, batch_chunk):
+                sl = slice(lo, min(lo + batch_chunk, b))
+                o, d = unet_apply(
+                    cfg, params, x[sl], t[sl], ctx[sl],
+                    cross_kv=_kv_slice(sl), return_deep_at=j0,
+                )
+                outs.append(o)
+                deeps.append(d)
+            return jnp.concatenate(outs, axis=0), jnp.concatenate(deeps, axis=0)
         return unet_apply(
             cfg, params, x, t, ctx, cross_kv=cross_kv, return_deep_at=j0
         )
 
     def unet_shallow(x, t, ctx, deep):
+        b = x.shape[0]
+        if batch_chunk > 0 and b > batch_chunk:
+            outs = []
+            for lo in range(0, b, batch_chunk):
+                sl = slice(lo, min(lo + batch_chunk, b))
+                outs.append(
+                    unet_apply(
+                        cfg, params, x[sl], t[sl], ctx[sl],
+                        cross_kv=_kv_slice(sl),
+                        deep_feature=deep[sl], deep_at=j0,
+                    )
+                )
+            return jnp.concatenate(outs, axis=0)
         return unet_apply(
             cfg, params, x, t, ctx,
             cross_kv=cross_kv, deep_feature=deep, deep_at=j0,

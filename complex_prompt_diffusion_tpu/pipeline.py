@@ -313,6 +313,22 @@ def make_guidance_spec(
     return GuidanceSpec.single(cond, uncond, scale)
 
 
+def _effective_unet_chunk(cfg: "RenderConfig", unet_cfg) -> int:
+    """Resolve RenderConfig.unet_batch_chunk to the effective max UNet
+    sub-batch (-1 = never split). Disabled for tiled inference (tiles
+    already batch via unet_tile_chunk) and for sharded bundles (GSPMD lays
+    the batch over the data axis; slicing the global batch would fight the
+    sharding)."""
+    from complex_prompt_diffusion_tpu.ops.sharding import ShardCtx
+
+    chunk = cfg.unet_batch_chunk
+    if chunk == 0:
+        chunk = 8 if jax.default_backend() == "tpu" else -1
+    if cfg.unet_tile or isinstance(unet_cfg.use_pallas, ShardCtx):
+        chunk = -1
+    return chunk
+
+
 def _unet_eps_fn(bundle: ModelBundle):
     def unet_eps(x, t, ctx):
         return M.unet_apply(bundle.unet_cfg, bundle.unet_params, x, t, ctx)
@@ -391,15 +407,7 @@ def _build_sampler_fn(
                     unet_cfg, use_pallas=ctx.local_use_pallas()
                 )
 
-        # Megabatch chunking (RenderConfig.unet_batch_chunk): disabled for
-        # tiled inference (tiles already batch via unet_tile_chunk) and for
-        # sharded bundles (GSPMD lays the batch over the data axis; slicing
-        # the global batch would fight the sharding).
-        chunk = cfg.unet_batch_chunk
-        if chunk == 0:
-            chunk = 8 if jax.default_backend() == "tpu" else -1
-        if cfg.unet_tile or isinstance(bundle.unet_cfg.use_pallas, ShardCtx):
-            chunk = -1
+        chunk = _effective_unet_chunk(cfg, bundle.unet_cfg)
 
         def unet_eps(x, t, ctx_):
             b = x.shape[0]
@@ -456,10 +464,14 @@ def _build_sampler_fn(
 
     def _deepcache_setup(unet_params, hoisted_kv, x, spec, depth_mask):
         """(raw unet_full, raw unet_shallow, zero deep-feature state) —
-        shared between the t- and sigma-family run builders."""
+        shared between the t- and sigma-family run builders. Megabatch
+        chunking applies to both DeepCache passes (the deep feature slices
+        along batch like everything else), so batch>=8 DeepCache renders
+        keep the B8 scheduling optimum."""
         unet_full, unet_shallow = M.make_deepcache_unets(
             bundle.unet_cfg, unet_params, cfg.deepcache_block,
             cross_kv=hoisted_kv,
+            batch_chunk=_effective_unet_chunk(cfg, bundle.unet_cfg),
         )
         deep_sd = jax.eval_shape(
             lambda x_, sp, dm: unet_full(

@@ -297,3 +297,99 @@ class TestPipeline:
             x_init=jnp.array(x_T), noises=noises[:2],
         )
         assert np.isfinite(np.asarray(x_dc)).all()
+
+
+class TestDeepCacheBatchChunk:
+    """Megabatch chunking inside the DeepCache closures (advisor r3): the
+    chunked full/shallow pair — x/t/ctx/cross_kv AND the deep feature
+    sliced along batch — must be numerically equivalent to the wide call,
+    so batch>=8 DeepCache renders keep the B8 scheduling optimum."""
+
+    @pytest.fixture(scope="class")
+    def bundle(self):
+        return ModelBundle.random("tiny")
+
+    def _batch3(self, bundle, steps):
+        rs = np.random.RandomState(1)
+        d = bundle.unet_cfg.context_dim
+        spec = GuidanceSpec.single(
+            jnp.asarray(rs.randn(7, d), jnp.float32),
+            jnp.asarray(rs.randn(7, d), jnp.float32),
+            1.0,
+        )
+        noises = jnp.asarray(rs.randn(steps, 3, 8, 8, 4), jnp.float32)
+        x_T = jnp.asarray(rs.randn(3, 8, 8, 4), jnp.float32)
+        return spec, noises, x_T
+
+    @pytest.mark.parametrize("name", ["DDIM", "Euler"])
+    def test_chunked_matches_unchunked(self, bundle, name):
+        # batch 3 + CFG -> megabatch 6; chunk 4 -> uneven [4, 2] sub-calls
+        # splitting MID-SAMPLE across the uncond/cond factor boundary —
+        # exercises deep-feature slicing in both passes
+        spec, noises, x_T = self._batch3(bundle, 4)
+        kw = dict(
+            width=64, height=64, batch_size=3, steps=4, sampler=name,
+            deepcache_interval=2,
+        )
+        ref = sample_latents(
+            bundle, spec, RenderConfig(unet_batch_chunk=-1, **kw),
+            x_init=jnp.array(x_T), noises=noises,
+        )
+        out = sample_latents(
+            bundle, spec, RenderConfig(unet_batch_chunk=4, **kw),
+            x_init=jnp.array(x_T), noises=noises,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-3
+        )
+
+    def test_closure_pair_chunked_bitexact(self):
+        # closure-level check: make_deepcache_unets(batch_chunk=2) on a
+        # megabatch of 5 equals the wide call bit-for-bit per pass
+        from complex_prompt_diffusion_tpu.models.unet import (
+            make_deepcache_unets,
+        )
+
+        cfg = dataclasses.replace(UNetConfig.tiny(), dtype="float32")
+        params = init_unet(jax.random.PRNGKey(0), cfg)
+        rs = np.random.RandomState(2)
+        x = jnp.asarray(rs.randn(5, 16, 16, 4), jnp.float32)
+        t = jnp.full((5,), 7.0)
+        ctx = jnp.asarray(rs.randn(5, 7, 32), jnp.float32)
+        kv = precompute_cross_kv(cfg, params, ctx)
+
+        wide_full, wide_shallow = make_deepcache_unets(
+            cfg, params, None, cross_kv=kv
+        )
+        ch_full, ch_shallow = make_deepcache_unets(
+            cfg, params, None, cross_kv=kv, batch_chunk=2
+        )
+        out_w, deep_w = wide_full(x, t, ctx)
+        out_c, deep_c = ch_full(x, t, ctx)
+        np.testing.assert_allclose(
+            np.asarray(out_c), np.asarray(out_w), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(deep_c), np.asarray(deep_w), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ch_shallow(x, t, ctx, deep_w)),
+            np.asarray(wide_shallow(x, t, ctx, deep_w)),
+            atol=1e-5,
+        )
+
+
+def test_make_denoiser_deepcache_requires_model_sigmas():
+    # advisor r3: the sigma->t mapping is undefined without the model
+    # sigma table; fail at build time, not mid-trace
+    from complex_prompt_diffusion_tpu.guidance.cfg import (
+        make_denoiser_deepcache,
+    )
+
+    spec = GuidanceSpec.single(
+        jnp.zeros((7, 32), jnp.float32), jnp.zeros((7, 32), jnp.float32)
+    )
+    with pytest.raises(ValueError, match="model_sigmas"):
+        make_denoiser_deepcache(
+            lambda x, t, c: (x, x), lambda x, t, c, d: x, spec, interval=2
+        )

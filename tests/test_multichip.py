@@ -113,6 +113,54 @@ class TestMultichip:
         assert "sharded render +downsample ok" in r.stdout
         assert "sharded render +merge ok" in r.stdout
 
+    def test_data_parallel_render_with_deepcache(self):
+        """Advisor r3: the lax.cond-carried deep feature under GSPMD was an
+        untested combination. DP mesh: the deepcache render must match the
+        single-device deepcache render (weights replicated, batch sharded);
+        TP/ShardCtx: same property with sharded kernels (interpret mode)."""
+        r = _run(
+            """
+            import jax, numpy as np, dataclasses
+            import jax.numpy as jnp
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from complex_prompt_diffusion_tpu.parallel import make_mesh, replicate
+            from complex_prompt_diffusion_tpu.parallel.tp import shard_bundle
+            from complex_prompt_diffusion_tpu.pipeline import (
+                ModelBundle, RenderConfig, sample_latents, make_guidance_spec)
+
+            b = ModelBundle.random("tiny")
+            spec = make_guidance_spec(b, "a cat walking")
+            cfg = RenderConfig(steps=4, width=32, height=32, batch_size=8,
+                               deepcache_interval=2)
+            rs = np.random.RandomState(0)
+            noises = jnp.asarray(rs.randn(4, 8, 4, 4, 4), np.float32)
+            x_T0 = jnp.asarray(rs.randn(8, 4, 4, 4), np.float32)
+            ref = np.asarray(sample_latents(
+                b, spec, cfg, x_init=jnp.array(x_T0), noises=noises))
+
+            mesh = make_mesh(data=8, model=1)
+            db = dataclasses.replace(b, unet_params=replicate(mesh, b.unet_params))
+            x_T = jax.device_put(jnp.array(x_T0), NamedSharding(mesh, P("data")))
+            with mesh:
+                lat = np.asarray(sample_latents(
+                    db, spec, cfg, x_init=x_T, noises=noises))
+            d = float(np.abs(lat - ref).max())
+            assert d < 2e-4, d
+            print("dp deepcache ok", d)
+
+            tb = shard_bundle(b, make_mesh(model=2), interpret=True)
+            _ = np.asarray  # keep flake quiet
+            lat_tp = np.asarray(sample_latents(
+                tb, spec, cfg, x_init=jnp.array(x_T0), noises=noises))
+            d = float(np.abs(lat_tp - ref).max())
+            assert d < 2e-3, d
+            print("tp deepcache ok", d)
+            """
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "dp deepcache ok" in r.stdout
+        assert "tp deepcache ok" in r.stdout
+
     @pytest.mark.slow  # full SD-1.5 compile in a subprocess (minutes)
     def test_entry_compiles(self):
         r = _run(

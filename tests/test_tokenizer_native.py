@@ -61,7 +61,13 @@ def py_tok(vocab_files):
 @pytest.fixture(scope="module")
 def native_tok(py_tok):
     if load_library() is None:
-        pytest.skip("native tokenizer library unavailable (no compiler?)")
+        # xfail, not skip (VERDICT r3 item 8): a clean checkout must not
+        # silently lose the C++/Python cross-check — load_library() builds
+        # via `make -C native` itself, so absence means a broken toolchain
+        pytest.xfail(
+            "native tokenizer library unavailable — `make -C native` "
+            "failed or no C++ toolchain (see README)"
+        )
     return NativeClipTokenizer(py_tok)
 
 
