@@ -53,18 +53,13 @@ def main():
     lowered = jax.jit(step).lower(tb.unet_params, x, t, ctx)
     hlo = lowered.compile().as_text()
 
+    # one definition per instruction: the opcode is preceded by a space
+    # (after the result type, which may be a tuple) and followed by "(";
+    # operand references are %-prefixed names and never match
     counts = collections.Counter()
     for op in ("all-reduce", "all-gather", "reduce-scatter", "collective-permute",
                "all-to-all"):
-        counts[op] = len(re.findall(rf"\b{op}(?:-start)?\(", hlo)) + len(
-            re.findall(rf"= \S+ {op}", hlo)
-        )
-    # robust fallback: count instruction names
-    for line in hlo.splitlines():
-        m = re.search(r"= \S+ (all-reduce|all-gather|reduce-scatter|"
-                      r"collective-permute|all-to-all)(-start)?\(", line)
-        if m:
-            counts["instr:" + m.group(1)] += 1
+        counts[op] = len(re.findall(rf" {op}(?:-start)?\(", hlo))
     print({k: v for k, v in sorted(counts.items()) if v})
 
 

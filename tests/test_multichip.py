@@ -8,6 +8,7 @@ isolation is required.
 """
 
 import os
+import re
 import subprocess
 import sys
 import textwrap
@@ -258,3 +259,95 @@ class TestTensorParallel:
             print("OK")
         """)
         assert "OK" in r.stdout, (r.stdout[-500:], r.stderr[-2000:])
+
+
+class TestCollectiveCounts:
+    """VERDICT r3 item 5: pin the collective counts GSPMD inserts, so a
+    future sharding-rule edit can't silently double the comm chain while
+    every CPU-mesh correctness test still passes. Counts may shrink
+    (improvement); growth fails."""
+
+    # measured on the TP-8 SD-1.5 CFG UNet step (scripts/perf_tp_collectives
+    # .py, docs/PERF.md batch-1 close-out): 48 ARs (3 per transformer block:
+    # attn-out psum, FF-out psum, shard_map boundary) + 272 permutes + 112
+    # all-to-alls from GSPMD resharding between column-sharded attention
+    # activations and the replicated conv path. (PERF.md's round-3 "56
+    # all-to-alls" was a counting artifact: the script's instr regex missed
+    # tuple-output ops; 112 distinct definitions is the true count.)
+    TP8_SD15_MAX = {"all-reduce": 48, "collective-permute": 272,
+                    "all-to-all": 112}
+
+    def test_tp8_sd15_step_collectives_pinned(self):
+        r = _run(
+            """
+            import re, jax, jax.numpy as jnp
+            from complex_prompt_diffusion_tpu.models import unet as unet_mod
+            from complex_prompt_diffusion_tpu.parallel.mesh import make_mesh
+            from complex_prompt_diffusion_tpu.parallel.tp import shard_bundle
+            from complex_prompt_diffusion_tpu.pipeline import ModelBundle
+
+            tb = shard_bundle(ModelBundle.random("sd15"), make_mesh(model=8))
+            cfg = tb.unet_cfg
+            dt = cfg.compute_dtype
+            x = jnp.zeros((2, 32, 32, cfg.in_channels), dt)
+            t = jnp.zeros((2,), jnp.int32)
+            ctx = jnp.zeros((2, 77, cfg.context_dim), dt)
+            hlo = jax.jit(
+                lambda p, x, t, c: unet_mod.unet_apply(cfg, p, x, t, c)
+            ).lower(tb.unet_params, x, t, ctx).compile().as_text()
+            for op in ("all-reduce", "collective-permute", "all-to-all"):
+                n = len(re.findall(rf" {op}(?:-start)?\\(", hlo))
+                print(f"count {op} {n}")
+            """,
+            timeout=560,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        counts = dict(
+            (m.group(1), int(m.group(2)))
+            for m in re.finditer(r"count (\S+) (\d+)", r.stdout)
+        )
+        assert set(counts) == set(self.TP8_SD15_MAX), counts
+        assert counts["all-reduce"] > 0, counts  # sanity: TP really shards
+        for op, mx in self.TP8_SD15_MAX.items():
+            assert counts[op] <= mx, (
+                f"{op} grew: {counts[op]} > pinned {mx} — a sharding-rule "
+                f"edit added collectives to the TP-8 critical path"
+            )
+
+    def test_dp_render_step_no_collectives(self):
+        # pure data parallelism: replicated weights + batch-sharded latents
+        # must compile to ZERO cross-device collectives in the UNet step
+        r = _run(
+            """
+            import re, dataclasses, jax, jax.numpy as jnp
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from complex_prompt_diffusion_tpu.models import unet as unet_mod
+            from complex_prompt_diffusion_tpu.parallel import make_mesh, replicate
+            from complex_prompt_diffusion_tpu.pipeline import ModelBundle
+
+            mesh = make_mesh(data=8, model=1)
+            b = ModelBundle.random("tiny")
+            params = replicate(mesh, b.unet_params)
+            cfg = b.unet_cfg
+            x = jax.device_put(
+                jnp.zeros((16, 8, 8, 4), jnp.float32),
+                NamedSharding(mesh, P("data")),
+            )
+            t = jnp.zeros((16,), jnp.int32)
+            ctx = jax.device_put(
+                jnp.zeros((16, 7, cfg.context_dim), jnp.float32),
+                NamedSharding(mesh, P("data")),
+            )
+            hlo = jax.jit(
+                lambda p, x, t, c: unet_mod.unet_apply(cfg, p, x, t, c)
+            ).lower(params, x, t, ctx).compile().as_text()
+            n = len(re.findall(
+                r" (?:all-reduce|collective-permute|all-to-all|all-gather|"
+                r"reduce-scatter)(?:-start)?\\(", hlo))
+            print("dp collectives", n)
+            """
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        m = re.search(r"dp collectives (\d+)", r.stdout)
+        assert m, r.stdout
+        assert int(m.group(1)) == 0, r.stdout
