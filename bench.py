@@ -95,6 +95,58 @@ def bench_e2e(args):
     print(json.dumps(result))
 
 
+def bench_latency(args):
+    """Fastest-single-image rows (VERDICT r3 item 7): seconds to first
+    image, end-to-end (tokenize+CLIP+scan+decode+host u8) at batch 1 with
+    the batch-1 levers composed — exact path, then the labeled approximate
+    operating point (DeepCache interval 3 + ToDo 0.75; error table in
+    docs/PERF.md "Approximate-mode error")."""
+    from complex_prompt_diffusion_tpu.pipeline import (
+        ModelBundle, RenderConfig, txt2img,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    bundle = ModelBundle.random("sd15" if on_tpu and not args.small else "tiny")
+    if on_tpu:
+        bundle = bundle.cast("bfloat16").cast_vae("bfloat16")
+    size = 512 if on_tpu and not args.small else 32
+    steps = args.steps if on_tpu and not args.small else 2
+    prompts = [
+        "a photograph of an astronaut riding a horse, seed %d" % i
+        for i in range(args.repeats + 1)
+    ]
+    for tag, kw in (
+        ("exact", {}),
+        ("approx DeepCache3+ToDo0.75", dict(
+            deepcache_interval=3, tome_ratio=0.75, tome_mode="downsample")),
+    ):
+        cfg = RenderConfig(
+            steps=steps, width=size, height=size, batch_size=1, **kw
+        )
+        imgs, _ = txt2img(bundle, prompts[0], cfg=cfg)  # warmup/compile
+        assert imgs is not None and imgs.dtype == np.uint8
+        times = []
+        for i in range(args.repeats):
+            t0 = time.perf_counter()
+            imgs, _ = txt2img(bundle, prompts[1 + i], cfg=cfg)
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        metric = (
+            f"seconds-to-first-image e2e batch1 {tag} "
+            "SD1.5 512x512 DDIM-50 CFG7.5 bf16-decode"
+            if on_tpu and not args.small
+            else f"seconds-to-first-image tiny smoke {tag}"
+        )
+        print(json.dumps({
+            "metric": metric,
+            "value": round(dt, 3),
+            "unit": "seconds",
+            "vs_baseline": 0.0,
+            "steps": steps,
+            "backend": jax.default_backend(),
+        }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
@@ -135,8 +187,16 @@ def main():
         help="opt-in DeepCache interval: full UNet every Nth step, shallow "
         "level-0-only retrieval in between (approximate: labeled)",
     )
+    ap.add_argument(
+        "--latency", action="store_true",
+        help="fastest-single-image mode: batch-1 e2e seconds-to-first-image "
+        "rows (exact + labeled approximate operating point)",
+    )
     args = ap.parse_args()
 
+    if args.latency:
+        bench_latency(args)
+        return
     if args.e2e:
         # both rows: the scan-only headline, then the honest e2e number
         bench_scan(args)

@@ -80,21 +80,38 @@ class RenderEngine:
         uncond = prompt.uncond_embedding(self.bundle)
 
         if not feedback:
-            # one batched run: factors [F, 77, D] become the frame batch
+            # Streamed pipeline (VERDICT r3 item 2): frames are independent,
+            # so each frame's scan AND decode dispatch asynchronously and
+            # frame i's images materialize (device->host u8) only after
+            # frame i+1's work is queued — the host transfer and dispatch
+            # overhead hide behind device compute. (On one chip the decode
+            # EXECUTION still serializes with the next scan — programs run
+            # one at a time per core; under data parallelism the whole
+            # frame stream shards instead.) Output-identical to
+            # decode-at-the-end: jit programs are unchanged, only the
+            # materialization order moves (test_render_stream_matches).
+            from complex_prompt_diffusion_tpu.pipeline import (
+                _decode_latents_u8_jit,
+            )
+
             conds = jnp.asarray(np.stack(path))  # [F, L, D]
-            frames = []
             specs = [self._spec_for(c, uncond) for c in conds]
-            latents = []
+            pending: List[jax.Array] = []
+            imgs: List[np.ndarray] = []
             for i, spec in enumerate(specs):
                 k_i = jax.random.fold_in(key, i)
-                lat = sample_latents(
-                    self.bundle, spec, cfg, key=k_i
+                lat = sample_latents(self.bundle, spec, cfg, key=k_i)
+                pending.append(
+                    _decode_latents_u8_jit(
+                        self.bundle.vae_cfg, self.bundle.vae_params, lat
+                    )
                 )
-                latents.append(lat)
-            latents = jnp.concatenate(latents, axis=0)
-            imgs = decode_latents(self.bundle, latents)
-            self.render_buffer.extend(list(imgs))
-            return list(imgs)
+                if len(pending) > 1:
+                    imgs.extend(np.asarray(pending.pop(0)))
+            while pending:
+                imgs.extend(np.asarray(pending.pop(0)))
+            self.render_buffer.extend(imgs)
+            return imgs
 
         # sequential latent-feedback loop
         frames = []

@@ -1,0 +1,110 @@
+"""Speed-error quantification for the approximate modes (VERDICT r3 item 3).
+
+For each opt-in approximation at the headline config (SD-1.5 512x512,
+DDIM-50, CFG 7.5, batch 4, fixed seed): latent RMSE vs the exact path
+(relative to the exact latents' RMS), decoded-pixel mean/max absolute delta
+in u8 levels, plus the bf16-VAE-decode delta on the SAME exact latents.
+
+Caveat (documented wherever these numbers are cited): the air-gapped
+environment has no real SD weights, so the model is random-weight
+(ModelBundle.random("sd15")). The *mechanism* error — how far the cached /
+token-reduced path drifts from the exact scan through 50 steps of the same
+network — is what this measures; absolute visual quality claims need real
+weights.
+
+Usage: python scripts/perf_approx_error.py [--steps 50] [--batch 4]
+"""
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpd")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from complex_prompt_diffusion_tpu.pipeline import (
+    ModelBundle, RenderConfig, decode_latents, make_guidance_spec,
+    sample_latents,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=4)
+    args = ap.parse_args()
+
+    on_tpu = jax.default_backend() == "tpu"
+    bundle = ModelBundle.random("sd15" if on_tpu else "tiny")
+    if on_tpu:
+        bundle = bundle.cast("bfloat16")
+    size = 512 if on_tpu else 32
+    steps = args.steps if on_tpu else 4
+
+    spec = make_guidance_spec(
+        bundle, "a photograph of an astronaut riding a horse",
+        "blurry, low quality",
+    )
+    base = dict(steps=steps, width=size, height=size, batch_size=args.batch)
+    lat_shape = (args.batch, size // 8, size // 8, 4)
+    key = jax.random.PRNGKey(42)
+    x_T0 = jax.random.normal(key, lat_shape, jnp.float32)
+
+    def render(cfg, tag):
+        # fresh x_T per call (the scan donates the buffer); timed min-of-2
+        # with a perturbed key on the second call (tunnel memoization)
+        lat = sample_latents(bundle, spec, cfg, x_init=jnp.array(x_T0), key=key)
+        np.asarray(lat)  # force
+        best = 1e9
+        for i in range(2):
+            x = jnp.array(x_T0) * (1.0 + 1e-5 * i)
+            t0 = time.perf_counter()
+            lat_t = sample_latents(bundle, spec, cfg, x_init=x, key=key)
+            np.asarray(lat_t)
+            best = min(best, time.perf_counter() - t0)
+        return np.asarray(lat), best
+
+    exact_cfg = RenderConfig(**base)
+    exact, t_exact = render(exact_cfg, "exact")
+    exact_img = decode_latents(bundle, jnp.asarray(exact)).astype(np.int32)
+    rms_exact = float(np.sqrt(np.mean(exact.astype(np.float64) ** 2)))
+
+    variants = [
+        ("DeepCache N=2", dict(deepcache_interval=2)),
+        ("DeepCache N=3", dict(deepcache_interval=3)),
+        ("DeepCache N=5", dict(deepcache_interval=5)),
+        ("ToDo 0.75", dict(tome_ratio=0.75, tome_mode="downsample")),
+        ("ToMe 0.75", dict(tome_ratio=0.75, tome_mode="merge")),
+        ("DeepCache3+ToDo", dict(deepcache_interval=3, tome_ratio=0.75,
+                                 tome_mode="downsample")),
+    ]
+
+    print(f"exact: {args.batch / t_exact:.3f} img/s "
+          f"(latent RMS {rms_exact:.3f})")
+    print(f"{'variant':18s} {'img/s':>7s} {'speedup':>8s} {'lat relRMSE':>12s} "
+          f"{'px mean|d|':>11s} {'px max|d|':>10s}")
+    for tag, kw in variants:
+        cfg = RenderConfig(**base, **kw)
+        lat, t = render(cfg, tag)
+        rmse = float(np.sqrt(np.mean((lat - exact).astype(np.float64) ** 2)))
+        img = decode_latents(bundle, jnp.asarray(lat)).astype(np.int32)
+        d = np.abs(img - exact_img)
+        print(f"{tag:18s} {args.batch / t:7.3f} {t_exact / t:7.2f}x "
+              f"{rmse / rms_exact:12.4f} {float(d.mean()):11.2f} "
+              f"{int(d.max()):10d}")
+
+    # bf16 VAE decode delta on the SAME exact latents (for the default
+    # decode dtype decision, VERDICT item 1)
+    bf = bundle.cast_vae("bfloat16")
+    img_bf = decode_latents(bf, jnp.asarray(exact)).astype(np.int32)
+    d = np.abs(img_bf - exact_img)
+    print(f"{'bf16 VAE decode':18s} {'-':>7s} {'-':>8s} {'-':>12s} "
+          f"{float(d.mean()):11.3f} {int(d.max()):10d}")
+
+
+if __name__ == "__main__":
+    main()

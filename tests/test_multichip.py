@@ -241,6 +241,35 @@ class TestTensorParallel:
         """)
         assert "OK" in r.stdout, (r.stdout[-500:], r.stderr[-2000:])
 
+    def test_tp_conv_split_matches_single_device(self):
+        # probe mode (docs/PERF.md round-4 conv-split paragraph): Cin-split
+        # conv kernels + GSPMD psum must stay numerically equivalent
+        r = _run("""
+            import numpy as np
+            from jax.sharding import PartitionSpec as P
+            from complex_prompt_diffusion_tpu.pipeline import (
+                ModelBundle, RenderConfig, txt2img)
+            from complex_prompt_diffusion_tpu.parallel.mesh import make_mesh
+            from complex_prompt_diffusion_tpu.parallel.tp import (
+                shard_bundle, unet_tp_shardings)
+
+            b = ModelBundle.random("tiny")
+            cfg = RenderConfig(steps=2, width=32, height=32, seed=6)
+            _, ref = txt2img(b, "a cat", cfg=cfg, decode=False)
+
+            mesh = make_mesh(model=2)
+            sh = unet_tp_shardings(b.unet_params, mesh, conv_split=True)
+            k = sh["input_blocks"][1][0]["in_conv"]["kernel"]
+            assert k.spec == P(None, None, "model", None), k.spec
+
+            tb = shard_bundle(b, mesh, conv_split=True)
+            _, tp = txt2img(tb, "a cat", cfg=cfg, decode=False)
+            d = float(np.abs(np.asarray(ref) - np.asarray(tp)).max())
+            assert d < 2e-4, d
+            print("OK conv-split maxdiff", d)
+        """)
+        assert "OK" in r.stdout, (r.stdout[-500:], r.stderr[-2000:])
+
     def test_tp_uneven_shard_rejected(self):
         # tiny UNet inner dims (32/64) don't divide by 3 — but meshes are
         # powers of two here; verify a 8-way model shard of a 64-wide ff

@@ -361,6 +361,38 @@ class TestRenderEngine:
         assert len(frames) == 2
         assert frames[0].dtype == np.uint8
 
+    def test_stream_matches_unpipelined(self, bundle):
+        # VERDICT r3 item 2: the streamed scan/decode pipeline reorders only
+        # the HOST materialization — the images must equal rendering and
+        # decoding each frame synchronously with the same per-frame keys
+        import jax
+
+        from complex_prompt_diffusion_tpu.prompts import ComplexPrompt
+        from complex_prompt_diffusion_tpu.render import RenderEngine
+        from complex_prompt_diffusion_tpu.pipeline import (
+            decode_latents, sample_latents,
+        )
+
+        cfg = _cfg(batch_size=2)
+        p = ComplexPrompt("a cat", bundle=bundle)
+        p.add_prompt_lerp("a dog", magnitude=1.0, lerp_keys=["magnitude"])
+        key = jax.random.PRNGKey(cfg.seed)
+        eng = RenderEngine(bundle, cfg)
+        frames = eng.render_path(p, lerp_steps=3)
+        assert len(frames) == 6  # 3 frames x batch 2
+
+        path = p.embedding_path(steps=3, bundle=bundle)
+        uncond = p.uncond_embedding(bundle)
+        ref = []
+        for i, cond in enumerate(path):
+            spec = eng._spec_for(cond, uncond)
+            lat = sample_latents(
+                bundle, spec, cfg, key=jax.random.fold_in(key, i)
+            )
+            ref.extend(decode_latents(bundle, lat))
+        for got, want in zip(frames, ref):
+            np.testing.assert_array_equal(got, want)
+
     def test_feedback_render(self, bundle):
         from complex_prompt_diffusion_tpu.prompts import ComplexPrompt
         from complex_prompt_diffusion_tpu.render import RenderEngine
