@@ -75,19 +75,23 @@ class CLIPTextConfig:
         return jnp.dtype(self.dtype)
 
 
-def init_clip_text(key, cfg: CLIPTextConfig):
+def init_clip_text(key, cfg: CLIPTextConfig, *, commit: bool = True):
+    """Random CLIP text params. Built host-side in numpy (eager per-leaf
+    device dispatch is ~0.3 s/RPC on the tunneled backend) and committed
+    with ONE ``jax.device_put`` unless ``commit=False`` (callers that
+    post-process host-side, e.g. ModelBundle.random, commit themselves)."""
     d = cfg.hidden_size
     rng = L.as_np_rng(key)
     nk = lambda: rng  # noqa: E731
     import numpy as _np
 
     params = {
-        "token_embedding": jnp.asarray(
-            rng.normal(size=(cfg.vocab_size, d)) * 0.02, jnp.float32
-        ),
-        "position_embedding": jnp.asarray(
-            rng.normal(size=(cfg.max_length, d)) * 0.01, jnp.float32
-        ),
+        "token_embedding": (
+            rng.normal(size=(cfg.vocab_size, d)) * 0.02
+        ).astype(_np.float32),
+        "position_embedding": (
+            rng.normal(size=(cfg.max_length, d)) * 0.01
+        ).astype(_np.float32),
         "layers": [],
         "final_ln": L.init_layer_norm(d),
     }
@@ -108,7 +112,7 @@ def init_clip_text(key, cfg: CLIPTextConfig):
         params["text_projection"] = L.init_linear(
             nk(), d, cfg.projection_dim, bias=False
         )
-    return params
+    return jax.device_put(params) if commit else params
 
 
 def _act(cfg: CLIPTextConfig, x):
@@ -239,18 +243,19 @@ class CLIPVisionConfig:
         return jnp.dtype(self.dtype)
 
 
-def init_clip_vision(key, cfg: CLIPVisionConfig):
+def init_clip_vision(key, cfg: CLIPVisionConfig, *, commit: bool = True):
+    import numpy as _np
+
     d = cfg.hidden_size
     rng = L.as_np_rng(key)
     params = {
-        "class_embedding": jnp.asarray(rng.normal(size=(d,)) * 0.02, jnp.float32),
-        "patch_embedding": jnp.asarray(
-            rng.normal(size=(cfg.patch_size, cfg.patch_size, 3, d)) * 0.02,
-            jnp.float32,
-        ),
-        "position_embedding": jnp.asarray(
-            rng.normal(size=(cfg.num_patches + 1, d)) * 0.01, jnp.float32
-        ),
+        "class_embedding": (rng.normal(size=(d,)) * 0.02).astype(_np.float32),
+        "patch_embedding": (
+            rng.normal(size=(cfg.patch_size, cfg.patch_size, 3, d)) * 0.02
+        ).astype(_np.float32),
+        "position_embedding": (
+            rng.normal(size=(cfg.num_patches + 1, d)) * 0.01
+        ).astype(_np.float32),
         "pre_ln": L.init_layer_norm(d),
         "layers": [],
         "post_ln": L.init_layer_norm(d),
@@ -269,7 +274,7 @@ def init_clip_vision(key, cfg: CLIPVisionConfig):
                 "fc2": L.init_linear(rng, d * cfg.mlp_ratio, d),
             }
         )
-    return params
+    return jax.device_put(params) if commit else params
 
 
 def clip_vision_apply(

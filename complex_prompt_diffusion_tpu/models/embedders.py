@@ -97,36 +97,36 @@ def relative_position_bucket(
     return ret + np.where(is_small, n, val_large)
 
 
-def init_t5_encoder(key, cfg: T5Config):
+def init_t5_encoder(key, cfg: T5Config, *, commit: bool = True):
+    # host numpy leaves, one device_put at the end (see layers.init_conv)
     rng = L.as_np_rng(key)
     d = cfg.d_model
     inner = cfg.num_heads * cfg.d_kv
     params = {
-        "token_embedding": jnp.asarray(
-            rng.normal(size=(cfg.vocab_size, d)) * 1.0, jnp.float32
-        ),
-        "relative_bias": jnp.asarray(
-            rng.normal(size=(cfg.relative_buckets, cfg.num_heads)) * 0.1,
-            jnp.float32,
-        ),
+        "token_embedding": rng.normal(
+            size=(cfg.vocab_size, d)
+        ).astype(np.float32),
+        "relative_bias": (
+            rng.normal(size=(cfg.relative_buckets, cfg.num_heads)) * 0.1
+        ).astype(np.float32),
         "layers": [],
-        "final_ln": jnp.ones((d,), jnp.float32),
+        "final_ln": np.ones((d,), np.float32),
     }
     for _ in range(cfg.num_layers):
         params["layers"].append(
             {
-                "ln1": jnp.ones((d,), jnp.float32),
+                "ln1": np.ones((d,), np.float32),
                 "q": L.init_linear(rng, d, inner, bias=False),
                 "k": L.init_linear(rng, d, inner, bias=False),
                 "v": L.init_linear(rng, d, inner, bias=False),
                 "o": L.init_linear(rng, inner, d, bias=False),
-                "ln2": jnp.ones((d,), jnp.float32),
+                "ln2": np.ones((d,), np.float32),
                 "wi_0": L.init_linear(rng, d, cfg.d_ff, bias=False),
                 "wi_1": L.init_linear(rng, d, cfg.d_ff, bias=False),
                 "wo": L.init_linear(rng, cfg.d_ff, d, bias=False),
             }
         )
-    return params
+    return jax.device_put(params) if commit else params
 
 
 def t5_encode(cfg: T5Config, params, tokens: jax.Array) -> jax.Array:
@@ -267,7 +267,7 @@ class TransformerTextConfig:
 
 def _init_norm(cfg, d):
     if cfg.use_scalenorm:
-        return {"g": jnp.ones((1,), jnp.float32)}
+        return {"g": np.ones((1,), np.float32)}
     return L.init_layer_norm(d)  # rmsnorm reads only "scale"
 
 
@@ -289,7 +289,7 @@ def _init_gru_gate(rng, d):
     bound = 1.0 / np.sqrt(d)
 
     def u(shape):
-        return jnp.asarray(rng.uniform(-bound, bound, shape), jnp.float32)
+        return rng.uniform(-bound, bound, shape).astype(np.float32)
 
     return {
         "w_ih": u((3 * d, d)),
@@ -299,20 +299,20 @@ def _init_gru_gate(rng, d):
     }
 
 
-def init_transformer_text(key, cfg: TransformerTextConfig):
+def init_transformer_text(key, cfg: TransformerTextConfig, *, commit: bool = True):
     rng = L.as_np_rng(key)
     d = cfg.hidden_size
     h = cfg.num_heads
     params = {
-        "token_embedding": jnp.asarray(rng.normal(size=(cfg.vocab_size, d)) * 0.02, jnp.float32),
-        "position_embedding": jnp.asarray(rng.normal(size=(cfg.max_length, d)) * 0.01, jnp.float32),
+        "token_embedding": (rng.normal(size=(cfg.vocab_size, d)) * 0.02).astype(np.float32),
+        "position_embedding": (rng.normal(size=(cfg.max_length, d)) * 0.01).astype(np.float32),
         "layers": [],
         "final_ln": _init_norm(cfg, d),
     }
     if cfg.rel_pos_bias:
-        params["rel_pos_embedding"] = jnp.asarray(
-            rng.normal(size=(cfg.rel_pos_num_buckets, h)) * 0.02, jnp.float32
-        )
+        params["rel_pos_embedding"] = (
+            rng.normal(size=(cfg.rel_pos_num_buckets, h)) * 0.02
+        ).astype(np.float32)
     for kind in cfg.layer_types:
         if kind == "a":
             layer = {
@@ -323,15 +323,15 @@ def init_transformer_text(key, cfg: TransformerTextConfig):
                 "out": L.init_linear(rng, d, d),
             }
             if cfg.talking_heads:
-                layer["pre_softmax_proj"] = jnp.asarray(
-                    np.eye(h) + rng.normal(size=(h, h)) * 0.01, jnp.float32
-                )
-                layer["post_softmax_proj"] = jnp.asarray(
-                    np.eye(h) + rng.normal(size=(h, h)) * 0.01, jnp.float32
-                )
+                layer["pre_softmax_proj"] = (
+                    np.eye(h) + rng.normal(size=(h, h)) * 0.01
+                ).astype(np.float32)
+                layer["post_softmax_proj"] = (
+                    np.eye(h) + rng.normal(size=(h, h)) * 0.01
+                ).astype(np.float32)
             if cfg.use_rezero:
                 # Rezero wraps only Attention branches (embedder.py:404-406)
-                layer["rezero_g"] = jnp.zeros((1,), jnp.float32)
+                layer["rezero_g"] = np.zeros((1,), np.float32)
         else:
             layer = {
                 "ln": _init_norm(cfg, d),
@@ -341,7 +341,7 @@ def init_transformer_text(key, cfg: TransformerTextConfig):
         if cfg.gate_residual:
             layer["gru"] = _init_gru_gate(rng, d)
         params["layers"].append(layer)
-    return params
+    return jax.device_put(params) if commit else params
 
 
 def transformer_text_apply(cfg: TransformerTextConfig, params, tokens):

@@ -197,20 +197,24 @@ def as_np_rng(key) -> "np.random.Generator":
 
 def init_conv(key, in_ch: int, out_ch: int, kernel: int = 3, zero: bool = False):
     """Conv2d params {kernel: [KH,KW,I,O], bias: [O]}; uniform fan-in init
-    (torch Conv2d default is kaiming-uniform — only used for random tests)."""
+    (torch Conv2d default is kaiming-uniform — only used for random tests).
+
+    Returns HOST numpy leaves: on the tunneled TPU backend every eager
+    ``jnp`` array creation is a separate RPC (~0.3 s each), so init builds
+    the whole tree host-side and the top-level ``init_*`` entry points
+    commit it with ONE ``jax.device_put``."""
     import numpy as np
 
     if zero:
-        w = jnp.zeros((kernel, kernel, in_ch, out_ch), jnp.float32)
+        w = np.zeros((kernel, kernel, in_ch, out_ch), np.float32)
     else:
         rng = as_np_rng(key)
         fan_in = in_ch * kernel * kernel
         bound = 1.0 / math.sqrt(fan_in)
-        w = jnp.asarray(
-            rng.uniform(-bound, bound, (kernel, kernel, in_ch, out_ch)),
-            jnp.float32,
-        )
-    return {"kernel": w, "bias": jnp.zeros((out_ch,), jnp.float32)}
+        w = rng.uniform(
+            -bound, bound, (kernel, kernel, in_ch, out_ch)
+        ).astype(np.float32)
+    return {"kernel": w, "bias": np.zeros((out_ch,), np.float32)}
 
 
 def conv2d(params, x, stride: int = 1, padding=None):
@@ -264,17 +268,18 @@ def conv2d(params, x, stride: int = 1, padding=None):
 
 
 def init_linear(key, in_f: int, out_f: int, bias: bool = True, zero: bool = False):
+    # host numpy leaves — see init_conv docstring
     import numpy as np
 
     if zero:
-        w = jnp.zeros((in_f, out_f), jnp.float32)
+        w = np.zeros((in_f, out_f), np.float32)
     else:
         rng = as_np_rng(key)
         bound = 1.0 / math.sqrt(in_f)
-        w = jnp.asarray(rng.uniform(-bound, bound, (in_f, out_f)), jnp.float32)
+        w = rng.uniform(-bound, bound, (in_f, out_f)).astype(np.float32)
     p = {"kernel": w}
     if bias:
-        p["bias"] = jnp.zeros((out_f,), jnp.float32)
+        p["bias"] = np.zeros((out_f,), np.float32)
     return p
 
 
@@ -287,11 +292,15 @@ def linear(params, x):
 
 
 def init_group_norm(ch: int):
-    return {"scale": jnp.ones((ch,), jnp.float32), "bias": jnp.zeros((ch,), jnp.float32)}
+    import numpy as np
+
+    return {"scale": np.ones((ch,), np.float32), "bias": np.zeros((ch,), np.float32)}
 
 
 def init_layer_norm(ch: int):
-    return {"scale": jnp.ones((ch,), jnp.float32), "bias": jnp.zeros((ch,), jnp.float32)}
+    import numpy as np
+
+    return {"scale": np.ones((ch,), np.float32), "bias": np.zeros((ch,), np.float32)}
 
 
 def layer_norm(params, x, eps: float = 1e-5):

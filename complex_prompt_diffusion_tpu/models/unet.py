@@ -290,7 +290,9 @@ def _init_sublayer(key, cfg: UNetConfig, desc):
     raise ValueError(kind)
 
 
-def init_unet(key, cfg: UNetConfig):
+def init_unet(key, cfg: UNetConfig, *, commit: bool = True):
+    # Host numpy leaves throughout (eager per-leaf device dispatch costs
+    # ~0.3 s/RPC on the tunneled backend); ONE jax.device_put at the end.
     input_plan, middle_plan, output_plan = build_plan(cfg)
     emb_dim = cfg.model_channels * 4
     rng = L.as_np_rng(key)
@@ -320,12 +322,14 @@ def init_unet(key, cfg: UNetConfig):
         },
     }
     if cfg.num_classes:
+        import numpy as _np
+
         params["label_emb"] = {
-            "embedding": jnp.asarray(
-                rng.normal(size=(cfg.num_classes, emb_dim)), jnp.float32
-            )
+            "embedding": rng.normal(
+                size=(cfg.num_classes, emb_dim)
+            ).astype(_np.float32)
         }
-    return params
+    return jax.device_put(params) if commit else params
 
 
 # --------------------------------------------------------------------------

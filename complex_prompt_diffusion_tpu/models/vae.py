@@ -136,7 +136,8 @@ def _init_attn(key, ch):
     }
 
 
-def init_vae(key, cfg: VAEConfig):
+def init_vae(key, cfg: VAEConfig, *, commit: bool = True):
+    # host numpy leaves, one jax.device_put at the end (see layers.init_conv)
     rng = L.as_np_rng(key)
     nk = lambda: rng  # noqa: E731
 
@@ -191,12 +192,13 @@ def init_vae(key, cfg: VAEConfig):
     dec["conv_out"] = L.init_conv(nk(), ch, cfg.out_channels, 3)
 
     moments = 2 * cfg.embed_dim if cfg.double_z else cfg.embed_dim
-    return {
+    params = {
         "encoder": enc,
         "decoder": dec,
         "quant_conv": L.init_conv(nk(), z_out, moments, 1),
         "post_quant_conv": L.init_conv(nk(), cfg.embed_dim, cfg.z_channels, 1),
     }
+    return jax.device_put(params) if commit else params
 
 
 # --------------------------------------------------------------------------
@@ -288,10 +290,9 @@ def init_vq_quantizer(key, n_embed: int, embed_dim: int):
     import numpy as np
 
     return {
-        "embedding": jnp.asarray(
-            rng.uniform(-1.0 / n_embed, 1.0 / n_embed, (n_embed, embed_dim)),
-            jnp.float32,
-        )
+        "embedding": rng.uniform(
+            -1.0 / n_embed, 1.0 / n_embed, (n_embed, embed_dim)
+        ).astype(np.float32)
     }
 
 
@@ -321,12 +322,14 @@ def init_vq_model(key, cfg: VAEConfig, n_embed: int = 16384):
     """VQModel = Encoder + quant_conv + VectorQuantizer + post_quant_conv +
     Decoder (autoencoder.py:511-555). Uses double_z=False semantics."""
     cfg_vq = dataclasses.replace(cfg, double_z=False)
-    params = init_vae(jax.random.PRNGKey(0) if key is None else key, cfg_vq)
+    params = init_vae(
+        jax.random.PRNGKey(0) if key is None else key, cfg_vq, commit=False
+    )
     rng = L.as_np_rng(key)
     params["quant_conv"] = L.init_conv(rng, cfg.z_channels, cfg.embed_dim, 1)
     params["post_quant_conv"] = L.init_conv(rng, cfg.embed_dim, cfg.z_channels, 1)
     params["quantize"] = init_vq_quantizer(rng, n_embed, cfg.embed_dim)
-    return params
+    return jax.device_put(params)
 
 
 def vq_encode(cfg: VAEConfig, params, x, quantize: bool = True):

@@ -50,19 +50,51 @@ DEEPCACHE_SAMPLERS = frozenset({
 })
 
 
+@functools.lru_cache(maxsize=None)
+def _cast_tree_jit(dtype_str: str):
+    dt = jnp.dtype(dtype_str)
+    return jax.jit(lambda t: jax.tree.map(lambda a: a.astype(dt), t))
+
+
+def _cast_tree(params, dtype: str):
+    """Cast a whole param pytree in ONE compiled program.
+
+    A per-leaf eager ``jnp.asarray(a, dt)`` issues one device RPC per leaf
+    (~0.3 s each through the TPU tunnel — minutes for SD-1.5); host numpy
+    leaves cast host-side and device leaves go through one jitted tree-cast
+    (not donated: callers keep using the uncast bundle, e.g. f32/bf16 A/Bs).
+    """
+    leaves = jax.tree.leaves(params)
+    if all(isinstance(a, np.ndarray) for a in leaves):
+        # checkpoint-loaded host trees: cast in numpy (half the transfer
+        # bytes for bf16), then ONE batched device_put
+        dt = jnp.dtype(dtype)
+        return jax.device_put(
+            jax.tree.map(lambda a: np.asarray(a).astype(dt), params)
+        )
+    return _cast_tree_jit(str(jnp.dtype(dtype)))(params)
+
+
 def _unzero_kernels(key, params, scale: float = 0.02):
     """Replace all-zero kernel leaves (ndim>=2) with small gaussian noise.
 
     Used only by ModelBundle.random: checkpoint-parity init zeroes the
     residual/projection output layers, which would make a random model's
     output constant-zero and hide conditioning from tests. Biases and norm
-    offsets (ndim<2) stay zero."""
+    offsets (ndim<2) stay zero.
+
+    Runs host-side in numpy: the leaves are host arrays at this point
+    (init_* builds numpy; see models/layers.py init_conv) and per-leaf
+    eager device dispatch costs ~0.3 s/RPC on the tunneled backend."""
+    rng = M.layers.as_np_rng(key)
     leaves, treedef = jax.tree.flatten(params)
-    keys = jax.random.split(key, max(len(leaves), 1))
     out = []
-    for k, a in zip(keys, leaves):
-        if hasattr(a, "ndim") and a.ndim >= 2 and not bool(jnp.any(a)):
-            out.append(scale * jax.random.normal(k, a.shape, a.dtype))
+    for a in leaves:
+        a = np.asarray(a)
+        if a.ndim >= 2 and not a.any():
+            out.append(
+                (scale * rng.standard_normal(a.shape)).astype(a.dtype)
+            )
         else:
             out.append(a)
     return jax.tree.unflatten(treedef, out)
@@ -95,6 +127,12 @@ class ModelBundle:
         unet_cfg, unet_params = ck["unet"]
         vae_cfg, vae_params = ck["vae"]
         clip_cfg, clip_params = ck["clip"]
+        # one batched transfer: host leaves passed straight into jit would
+        # otherwise re-transfer on EVERY call (and eager per-leaf puts cost
+        # ~0.3 s/RPC through the TPU tunnel)
+        unet_params, vae_params, clip_params = jax.device_put(
+            (unet_params, vae_params, clip_params)
+        )
         return ModelBundle(
             version=version,
             unet_cfg=unet_cfg,
@@ -138,26 +176,32 @@ class ModelBundle:
         # correct for checkpoint loading, but a fully-random model would
         # then output identically zero and tests could never observe input
         # conditioning. Fill the zero-init kernels with small noise.
+        # init host-side + ONE batched device_put: per-leaf eager dispatch
+        # costs ~0.3 s/RPC through the TPU tunnel (~5-10 min for SD-1.5),
+        # while a single put of the whole 4.3 GB f32 tree takes ~8 s.
         unet_params = _unzero_kernels(
-            jax.random.fold_in(key, 1), M.init_unet(key, unet_cfg)
+            jax.random.fold_in(key, 1), M.init_unet(key, unet_cfg, commit=False)
+        )
+        vae_params = M.init_vae(key, vae_cfg, commit=False)
+        clip_params = M.init_clip_text(key, clip_cfg, commit=False)
+        unet_params, vae_params, clip_params = jax.device_put(
+            (unet_params, vae_params, clip_params)
         )
         return ModelBundle(
             version="sd1",
             unet_cfg=unet_cfg,
             unet_params=unet_params,
             vae_cfg=vae_cfg,
-            vae_params=M.init_vae(key, vae_cfg),
+            vae_params=vae_params,
             clip_cfg=clip_cfg,
-            clip_params=M.init_clip_text(key, clip_cfg),
+            clip_params=clip_params,
             tokenizer=get_tokenizer(vocab_size=clip_cfg.vocab_size),
             tables=S.make_diffusion_tables(),
         )
 
     def cast(self, dtype: str) -> "ModelBundle":
         """Cast UNet weights to a compute dtype (bf16 on TPU)."""
-        params = jax.tree.map(
-            lambda a: jnp.asarray(a, jnp.dtype(dtype)), self.unet_params
-        )
+        params = _cast_tree(self.unet_params, dtype)
         return dataclasses.replace(
             self,
             unet_params=params,
@@ -172,9 +216,7 @@ class ModelBundle:
         bf16 shares f32's exponent range, so the fp16 SD-VAE overflow
         problem does not apply; opt-in because decoded pixels shift by up
         to ~1/255 vs the f32 reference."""
-        params = jax.tree.map(
-            lambda a: jnp.asarray(a, jnp.dtype(dtype)), self.vae_params
-        )
+        params = _cast_tree(self.vae_params, dtype)
         return dataclasses.replace(
             self,
             vae_params=params,
