@@ -282,12 +282,36 @@ class RenderConfig:
     # 0 = auto (8 on TPU, off elsewhere); -1 = never split; n>=1 = explicit.
     # No reference counterpart (perf dispatch only — bit-exact either way).
     unet_batch_chunk: int = 0
+    # continuous-time solver family (sampler="dpm_solver" | "UniPC") knobs:
+    # solver order 1-3 (adaptive: 2-3), dpm_solver method
+    # multistep|singlestep|adaptive (solver.py:1045 method arg; "adaptive" =
+    # DPM-Solver-12/23, solver.py:982), UniPC variant bh1|bh2|vary_coeff
+    # (uni_pc.py:190,305)
+    solver_order: int = 2
+    solver_method: str = "multistep"
+    unipc_variant: str = "bh2"
     guidance: GuidanceConfig = GuidanceConfig()
 
     def __post_init__(self):
         if self.unet_batch_chunk < -1:
             raise ValueError(
                 f"unet_batch_chunk must be >= -1, got {self.unet_batch_chunk}"
+            )
+        if not 1 <= self.solver_order <= 3:
+            raise ValueError(
+                f"solver_order must be 1-3, got {self.solver_order}"
+            )
+        if self.solver_method not in ("multistep", "singlestep", "adaptive"):
+            raise ValueError(
+                f"unknown solver_method {self.solver_method!r} "
+                "(multistep|singlestep|adaptive)"
+            )
+        if self.solver_method == "adaptive" and self.solver_order < 2:
+            raise ValueError("adaptive solver_method requires solver_order 2-3")
+        if self.unipc_variant not in ("bh1", "bh2", "vary_coeff"):
+            raise ValueError(
+                f"unknown unipc_variant {self.unipc_variant!r} "
+                "(bh1|bh2|vary_coeff)"
             )
         if self.tome_ratio > 0.0 and self.tome_mode not in (
             "downsample", "merge"
@@ -753,6 +777,12 @@ def _build_sampler_fn(
         )
         uc = jnp.asarray(cfg.guidance.guidance_scale, jnp.float32)
 
+        solver_kw = {"order": cfg.solver_order}
+        if sample_fn is SA.sample_unipc:
+            solver_kw["variant"] = cfg.unipc_variant
+        else:
+            solver_kw["method"] = cfg.solver_method
+
         def run(unet_params, spec, x_T, key, noises, depth_mask, guide_args):
             unet_eps = _make_unet_eps(
                 unet_params, _hoisted_kv(unet_params, spec, x_T.shape[0])
@@ -766,7 +796,7 @@ def _build_sampler_fn(
                 t_disc = (t_cont - 1.0 / ns.total_N) * 1000.0
                 return eps_fn(x_in, t_disc, uc, jnp.asarray(False))
 
-            return sample_fn(model_fn, x_T, ns, steps=cfg.steps)
+            return sample_fn(model_fn, x_T, ns, steps=cfg.steps, **solver_kw)
 
         return jax.jit(run, donate_argnums=(2,))
 

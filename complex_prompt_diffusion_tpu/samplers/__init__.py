@@ -34,6 +34,7 @@ from complex_prompt_diffusion_tpu.samplers.solver import (
     NoiseScheduleVP,
     model_wrapper,
     sample_dpm_solver,
+    sample_dpm_solver_adaptive,
 )
 from complex_prompt_diffusion_tpu.samplers.unipc import sample_unipc
 from complex_prompt_diffusion_tpu.samplers.repaint import sample_repaint
@@ -60,6 +61,7 @@ __all__ = [
     "NoiseScheduleVP",
     "model_wrapper",
     "sample_dpm_solver",
+    "sample_dpm_solver_adaptive",
     "sample_unipc",
     "sample_repaint",
     "SAMPLERS",

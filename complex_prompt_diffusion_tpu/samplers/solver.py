@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["NoiseScheduleVP", "model_wrapper", "sample_dpm_solver"]
+__all__ = [
+    "NoiseScheduleVP",
+    "model_wrapper",
+    "sample_dpm_solver",
+    "sample_dpm_solver_adaptive",
+]
 
 
 class NoiseScheduleVP:
@@ -307,6 +312,12 @@ def sample_dpm_solver(
             return to_x0(eps, x, float(t))
         return eps
 
+    if method == "adaptive":
+        return sample_dpm_solver_adaptive(
+            model_fn, x, ns, order=order, algorithm_type=algorithm_type,
+            t_start=t_start, t_end=t_end,
+        )
+
     ts = _time_steps(ns, skip_type, t_T, t_0, steps)
 
     if method == "singlestep" and order == 1:
@@ -424,3 +435,165 @@ def sample_dpm_solver(
         return x
 
     raise ValueError(method)
+
+
+def sample_dpm_solver_adaptive(
+    model_fn: Callable,
+    x: jax.Array,
+    noise_schedule: NoiseScheduleVP,
+    order: int = 2,
+    algorithm_type: str = "dpmsolver++",
+    h_init: float = 0.05,
+    atol: float = 0.0078,
+    rtol: float = 0.05,
+    theta: float = 0.9,
+    t_err: float = 1e-5,
+    t_start: Optional[float] = None,
+    t_end: Optional[float] = None,
+    max_iters: int = 200,
+):
+    """Continuous-time adaptive step-size DPM-Solver ("DPM-Solver-12/23",
+    solver.py:982-1043): embedded lower/higher singlestep pair with the
+    Jolicoeur-Martineau step controller (arXiv:2105.14080).
+
+    TPU-native shape: the reference's data-dependent Python ``while`` runs
+    as one ``lax.while_loop`` — all schedule lookups use the on-device
+    interpolated :class:`NoiseScheduleVP` (the time grid is dynamic here, so
+    the host-side static-coefficient trick of the fixed-grid methods does
+    not apply). ``max_iters`` bounds the loop (the reference has no bound;
+    an XLA while needs termination under a pathological controller —
+    well above any observed count, t_err triggers first in practice).
+    """
+    if order not in (2, 3):
+        raise ValueError(
+            f"adaptive solver requires order 2 or 3, got {order}"
+        )
+    ns = noise_schedule
+    predict_x0 = algorithm_type == "dpmsolver++"
+    t_T = ns.T if t_start is None else t_start
+    t_0 = 1.0 / ns.total_N if t_end is None else t_end
+    f32 = jnp.float32
+
+    def la(t):
+        return ns.marginal_log_mean_coeff(t)
+
+    def alpha(t):
+        return ns.marginal_alpha(t)
+
+    def std(t):
+        return ns.marginal_std(t)
+
+    def eval_m(x_in, t):
+        eps = model_fn(x_in, t)
+        if predict_x0:
+            return (x_in - std(t) * eps) / alpha(t)
+        return eps
+
+    def first_update(x_in, s, t, m_s):
+        h = ns.marginal_lambda(t) - ns.marginal_lambda(s)
+        if predict_x0:
+            return (std(t) / std(s)) * x_in - alpha(t) * jnp.expm1(-h) * m_s
+        return jnp.exp(la(t) - la(s)) * x_in - std(t) * jnp.expm1(h) * m_s
+
+    def second_update(x_in, s, t, r1, m_s):
+        """singlestep_dpm_solver_second_update, solver_type='dpm_solver'
+        (solver.py:619-703). Returns (x_t, model_s1)."""
+        lam_s = ns.marginal_lambda(s)
+        h = ns.marginal_lambda(t) - lam_s
+        s1 = ns.inverse_lambda(lam_s + r1 * h)
+        if predict_x0:
+            phi_11, phi_1 = jnp.expm1(-r1 * h), jnp.expm1(-h)
+            x_s1 = (std(s1) / std(s)) * x_in - alpha(s1) * phi_11 * m_s
+            m_s1 = eval_m(x_s1, s1)
+            x_t = (
+                (std(t) / std(s)) * x_in
+                - alpha(t) * phi_1 * m_s
+                - (0.5 / r1) * alpha(t) * phi_1 * (m_s1 - m_s)
+            )
+        else:
+            phi_11, phi_1 = jnp.expm1(r1 * h), jnp.expm1(h)
+            x_s1 = jnp.exp(la(s1) - la(s)) * x_in - std(s1) * phi_11 * m_s
+            m_s1 = eval_m(x_s1, s1)
+            x_t = (
+                jnp.exp(la(t) - la(s)) * x_in
+                - std(t) * phi_1 * m_s
+                - (0.5 / r1) * std(t) * phi_1 * (m_s1 - m_s)
+            )
+        return x_t, m_s1
+
+    def third_update(x_in, s, t, r1, r2, m_s, m_s1):
+        """singlestep_dpm_solver_third_update, solver_type='dpm_solver'
+        (solver.py:705-826), with model_s/model_s1 reused."""
+        lam_s = ns.marginal_lambda(s)
+        h = ns.marginal_lambda(t) - lam_s
+        s2 = ns.inverse_lambda(lam_s + r2 * h)
+        if predict_x0:
+            phi_12, phi_1 = jnp.expm1(-r2 * h), jnp.expm1(-h)
+            phi_22 = jnp.expm1(-r2 * h) / (r2 * h) + 1.0
+            phi_2 = phi_1 / h + 1.0
+            x_s2 = (
+                (std(s2) / std(s)) * x_in
+                - alpha(s2) * phi_12 * m_s
+                + (r2 / r1) * alpha(s2) * phi_22 * (m_s1 - m_s)
+            )
+            m_s2 = eval_m(x_s2, s2)
+            return (
+                (std(t) / std(s)) * x_in
+                - alpha(t) * phi_1 * m_s
+                + (1.0 / r2) * alpha(t) * phi_2 * (m_s2 - m_s)
+            )
+        phi_12, phi_1 = jnp.expm1(r2 * h), jnp.expm1(h)
+        phi_22 = jnp.expm1(r2 * h) / (r2 * h) - 1.0
+        phi_2 = phi_1 / h - 1.0
+        x_s2 = (
+            jnp.exp(la(s2) - la(s)) * x_in
+            - std(s2) * phi_12 * m_s
+            - (r2 / r1) * std(s2) * phi_22 * (m_s1 - m_s)
+        )
+        m_s2 = eval_m(x_s2, s2)
+        return (
+            jnp.exp(la(t) - la(s)) * x_in
+            - std(t) * phi_1 * m_s
+            - (1.0 / r2) * std(t) * phi_2 * (m_s2 - m_s)
+        )
+
+    lambda_0 = ns.marginal_lambda(f32(t_0))
+
+    def body(state):
+        x_cur, x_prev, s, h, it = state
+        lam_s = ns.marginal_lambda(s)
+        t = ns.inverse_lambda(lam_s + h)
+        m_s = eval_m(x_cur, s)
+        if order == 2:
+            x_lower = first_update(x_cur, s, t, m_s)
+            x_higher, _ = second_update(x_cur, s, t, 0.5, m_s)
+        else:
+            x_lower, m_s1 = second_update(x_cur, s, t, 1.0 / 3.0, m_s)
+            x_higher = third_update(
+                x_cur, s, t, 1.0 / 3.0, 2.0 / 3.0, m_s, m_s1
+            )
+        delta = jnp.maximum(
+            atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev))
+        )
+        err = (x_higher - x_lower) / delta
+        # per-sample RMS, then max over the batch (solver.py:1033-1034)
+        E = jnp.max(
+            jnp.sqrt(jnp.mean(jnp.square(err.reshape(err.shape[0], -1)), axis=-1))
+        )
+        accept = E <= 1.0
+        x_new = jnp.where(accept, x_higher, x_cur)
+        s_new = jnp.where(accept, t, s)
+        x_prev_new = jnp.where(accept, x_lower, x_prev)
+        lam_new = ns.marginal_lambda(s_new)
+        h_new = jnp.minimum(
+            theta * h * E ** (-1.0 / order), lambda_0 - lam_new
+        )
+        return x_new, x_prev_new, s_new, h_new, it + 1
+
+    def cond(state):
+        _, _, s, _, it = state
+        return jnp.logical_and(jnp.abs(s - t_0) > t_err, it < max_iters)
+
+    state0 = (x, x, f32(t_T), f32(h_init), jnp.int32(0))
+    x_out, _, _, _, _ = jax.lax.while_loop(cond, body, state0)
+    return x_out

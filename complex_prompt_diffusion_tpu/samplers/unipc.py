@@ -3,12 +3,15 @@
 Parity target: /root/reference/cpd/samplers/uni_pc.py:9-588 (the UniPC
 reference port; Zhao et al., arXiv:2302.04867). Implemented in the
 data-prediction (x0) form with the B(h) variants ``bh1`` (B_h = h) and
-``bh2`` (B_h = expm1(h)), multistep orders 1-3, optional corrector
-(UniC) after each predictor step, ``lower_order_final``.
+``bh2`` (B_h = expm1(h)) plus the ``vary_coeff`` variant
+(uni_pc.py:305-409: per-step C-matrix inversion with phi_k weights),
+multistep orders 1-3, optional corrector (UniC) after each predictor
+step (skipped on the final step, matching uni_pc.py:589-592),
+``lower_order_final``.
 
 Uses the same :class:`~.solver.NoiseScheduleVP` and wrapped model as
-DPM-Solver. The tiny R-matrix solves for the rho coefficients run in host
-numpy at trace time (the time grid is static).
+DPM-Solver. The tiny R/C-matrix solves for the rho coefficients run in
+host numpy at trace time (the time grid is static).
 """
 
 from __future__ import annotations
@@ -59,12 +62,38 @@ def _uni_coeffs(rks: List[float], hh: float, variant: str, corrector: bool):
     R = np.stack(R)  # [K, K]
     b = np.asarray(b)
     if K == 1:
-        rhos = np.asarray([0.5]) if corrector else b[:1] / R[0, :1]
-        if corrector:
-            rhos = np.asarray([0.5])
+        # the reference hardcodes rho = 0.5 for the 1x1 systems instead of
+        # solving them — order-2 predictor (uni_pc.py:472-475) and order-1
+        # corrector (uni_pc.py:481-483) alike
+        rhos = np.asarray([0.5])
     else:
         rhos = np.linalg.solve(R, b)
     return rhos, B_h
+
+
+def _vary_coeffs(all_rks: List[float], hh: float):
+    """Host-side coefficient solve for the ``vary_coeff`` variant
+    (uni_pc.py:326-362). ``all_rks`` includes the trailing 1.0 knot; returns
+    (A_p [K-1,K-1] or None, A_c [K,K], h_phi_ks length K+1) where
+    C[i,k] = r_i^k / (k+1)!, A_p = inv(C[:-1,:-1]), A_c = inv(C)."""
+    rks_np = np.asarray(all_rks, np.float64)
+    K = len(rks_np)
+    C = np.zeros((K, K))
+    col = np.ones(K)
+    for k in range(1, K + 1):
+        C[:, k - 1] = col
+        col = col * rks_np / (k + 1)
+    A_p = np.linalg.inv(C[:-1, :-1]) if K > 1 else None
+    A_c = np.linalg.inv(C)
+
+    h_phi_ks = []
+    factorial_k = 1.0
+    h_phi_k = math.expm1(hh)
+    for k in range(1, K + 2):
+        h_phi_ks.append(h_phi_k)
+        h_phi_k = h_phi_k / hh - 1.0 / factorial_k
+        factorial_k *= k + 1
+    return A_p, A_c, h_phi_ks
 
 
 def sample_unipc(
@@ -99,7 +128,7 @@ def sample_unipc(
         eps = model_fn(x_in, jnp.asarray(t, jnp.float32))
         return (x_in - sigma(t) * eps) / alpha(t)
 
-    def unipc_update(x_prev0, t_prev_list, model_prev_list, t, cur_order):
+    def unipc_update(x_prev0, t_prev_list, model_prev_list, t, cur_order, corr):
         """One predictor(+corrector) update from t_prev_list[-1] to t."""
         t_prev_0 = t_prev_list[-1]
         m_prev_0 = model_prev_list[-1]
@@ -121,7 +150,30 @@ def sample_unipc(
         alpha_t, sigma_t_, sigma_prev = alpha(t), sigma(t), sigma(t_prev_0)
         x_t_base = (sigma_t_ / sigma_prev) * x_prev0 - alpha_t * h_phi_1 * m_prev_0
 
-        # predictor
+        if variant == "vary_coeff":
+            # uni_pc.py:305-409 (x0-prediction branch :364-388): per-step
+            # C-matrix inverses; predictor uses rows of inv(C[:-1,:-1]),
+            # corrector rows of inv(C) — incl. the reference's use of row
+            # K-2's last element for the D1_t term (uni_pc.py:385-387).
+            A_p, A_c, h_phi_ks = _vary_coeffs(rks + [1.0], hh)
+            K = len(rks) + 1
+            x_t = x_t_base
+            for k in range(K - 1):
+                res = sum(float(A_p[k][j]) * D1s[j] for j in range(K - 1))
+                x_t = x_t - alpha_t * h_phi_ks[k + 1] * res
+            if not corr:
+                return x_t, None
+            m_t = x0_of(x_t, t)
+            D1_t = m_t - m_prev_0
+            x_t = x_t_base
+            k = 0
+            for k in range(K - 1):
+                res = sum(float(A_c[k][j]) * D1s[j] for j in range(K - 1))
+                x_t = x_t - alpha_t * h_phi_ks[k + 1] * res
+            x_t = x_t - alpha_t * h_phi_ks[K] * float(A_c[k][-1]) * D1_t
+            return x_t, m_t
+
+        # predictor (B(h) variants)
         if rks:
             rhos_p, B_h = _uni_coeffs(rks, hh, variant, corrector=False)
             pred_res = sum(float(r) * d for r, d in zip(rhos_p, D1s))
@@ -130,7 +182,7 @@ def sample_unipc(
             _, B_h = _uni_coeffs([1.0], hh, variant, corrector=False)
             x_t = x_t_base
 
-        if not use_corrector:
+        if not corr:
             return x_t, None
 
         # corrector: evaluate the model at the predicted point
@@ -150,7 +202,10 @@ def sample_unipc(
         if lower_order_final:
             cur_order = min(cur_order, steps - i)
         cur_order = max(1, min(cur_order, len(model_prev_list)))
-        x, m_t = unipc_update(x, t_prev_list, model_prev_list, t, cur_order)
+        # the reference never runs the corrector on the final step
+        # (uni_pc.py:589-592: "do not run corrector at the last step")
+        corr = use_corrector and i < steps - 1
+        x, m_t = unipc_update(x, t_prev_list, model_prev_list, t, cur_order, corr)
         if m_t is None and i < steps - 1:
             m_t = x0_of(x, t)
         t_prev_list.append(t)

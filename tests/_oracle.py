@@ -223,3 +223,24 @@ def setup_diffusers_unet():
         return _diffusers_unet_cls
     except Exception:  # pragma: no cover
         return None
+
+
+def setup_unipc():
+    """Import the reference's UniPC module (cpd/samplers/uni_pc.py).
+
+    It does ``from util import interpolate_fn`` (uni_pc.py:5) — a top-level
+    ``util`` module that does not exist anywhere in the reference tree (the
+    function lives in cpd/samplers/util.py). Supply the missing module so
+    the reference solver can serve as the trajectory oracle.
+    """
+    if setup() is None:
+        return None
+    try:
+        import cpd.samplers.util as ref_sutil
+
+        _stub("util", interpolate_fn=ref_sutil.interpolate_fn)
+        import cpd.samplers.uni_pc as ref_unipc
+
+        return ref_unipc
+    except Exception:  # pragma: no cover
+        return None

@@ -67,6 +67,26 @@ class TestTxt2Img:
         _, lat = txt2img(bundle, "a cat", cfg=cfg, decode=False)
         assert np.isfinite(np.asarray(lat)).all(), sampler
 
+    @pytest.mark.parametrize("kw", [
+        dict(sampler="UniPC", unipc_variant="vary_coeff"),
+        dict(sampler="UniPC", unipc_variant="bh1", solver_order=3),
+        dict(sampler="dpm_solver", solver_method="adaptive"),
+        dict(sampler="dpm_solver", solver_method="singlestep", solver_order=3),
+    ])
+    def test_solver_family_knobs(self, bundle, kw):
+        _, lat = txt2img(bundle, "a cat", cfg=_cfg(**kw), decode=False)
+        assert np.isfinite(np.asarray(lat)).all(), kw
+
+    def test_solver_knob_validation(self):
+        with pytest.raises(ValueError, match="unipc_variant"):
+            RenderConfig(unipc_variant="bh3")
+        with pytest.raises(ValueError, match="solver_method"):
+            RenderConfig(solver_method="nope")
+        with pytest.raises(ValueError, match="adaptive"):
+            RenderConfig(solver_method="adaptive", solver_order=1)
+        with pytest.raises(ValueError, match="solver_order"):
+            RenderConfig(solver_order=4)
+
     def test_injected_noise_reproducible(self, bundle):
         cfg = _cfg(eta=1.0)
         from complex_prompt_diffusion_tpu import schedules as S

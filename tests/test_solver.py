@@ -181,3 +181,137 @@ class TestRePaint:
         unknown_err = float(jnp.abs(out[:, 4:] - original[:, 4:]).mean())
         assert known_err < 0.15
         assert known_err < unknown_err
+
+
+class TestUniPCVaryCoeff:
+    @pytest.mark.parametrize("order,tol", [(1, 0.06), (2, 0.05), (3, 0.05)])
+    def test_identity_flow(self, ns, x0, order, tol):
+        out = SA.sample_unipc(
+            _ideal_model(ns), x0, ns, steps=20, order=order,
+            variant="vary_coeff",
+        )
+        err = float(jnp.abs(out - x0).max()) / float(jnp.abs(x0).max())
+        assert err < tol, f"unipc vary_coeff order {order}: {err}"
+
+    def test_differs_from_bh(self, ns, x0):
+        # vary_coeff is a genuinely different update rule at order >= 2
+        a = SA.sample_unipc(_ideal_model(ns), x0, ns, steps=8, order=3,
+                            variant="vary_coeff")
+        b = SA.sample_unipc(_ideal_model(ns), x0, ns, steps=8, order=3,
+                            variant="bh2")
+        assert float(jnp.abs(a - b).max()) > 1e-6
+
+
+class TestUniPCOracle:
+    """Trajectory parity vs the torch reference solver (uni_pc.py:183+),
+    driven through its own multistep sample() loop on a shared nontrivial
+    toy model."""
+
+    @pytest.mark.parametrize("variant,order", [
+        ("vary_coeff", 1), ("vary_coeff", 2), ("vary_coeff", 3),
+        ("bh1", 2), ("bh2", 2), ("bh2", 3),
+    ])
+    def test_multistep_matches_reference(self, ns, variant, order):
+        import _oracle
+
+        ref_unipc = _oracle.setup_unipc()
+        if ref_unipc is None:
+            pytest.skip("reference import failed")
+        import torch
+
+        tables = S.make_diffusion_tables()
+        import cpd.scheduler.noise_vp as ref_nvp
+
+        t_ns = ref_nvp.NoiseScheduleVP(
+            "discrete", alphas_cumprod=torch.tensor(
+                np.asarray(tables.alphas_cumprod), dtype=torch.float32
+            ),
+        )
+
+        x_np = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(3), (1, 2, 6, 6)), np.float32
+        )
+
+        # nontrivial model shared by both: eps = sigma_t*(x + 0.1 sin 3x)
+        def ref_model(x, t_cont):
+            s = t_ns.marginal_std(t_cont).reshape(-1, 1, 1, 1)
+            return s * (x + 0.1 * torch.sin(3.0 * x))
+
+        steps = 10
+        solver = ref_unipc.UniPC(
+            ref_model, t_ns, predict_x0=True, variant=variant
+        )
+        ref_out = solver.sample(
+            torch.tensor(x_np), steps=steps, order=order,
+            skip_type="time_uniform", method="multistep",
+            lower_order_final=True,
+        ).numpy()
+
+        def my_model(x, t_cont):
+            return ns.marginal_std(t_cont) * (x + 0.1 * jnp.sin(3.0 * x))
+
+        out = np.asarray(SA.sample_unipc(
+            my_model, jnp.asarray(x_np), ns, steps=steps, order=order,
+            skip_type="time_uniform", variant=variant,
+        ))
+        np.testing.assert_allclose(out, ref_out, rtol=2e-3, atol=2e-3)
+
+
+class TestDPMSolverAdaptive:
+    """Continuous-time adaptive solver (solver.py:982-1043) — identity-flow
+    accuracy plus trajectory parity vs the torch reference."""
+
+    @pytest.mark.parametrize("order", [2, 3])
+    def test_identity_flow(self, ns, x0, order):
+        out = SA.sample_dpm_solver(
+            _ideal_model(ns), x0, ns, order=order, method="adaptive"
+        )
+        err = float(jnp.abs(out - x0).max()) / float(jnp.abs(x0).max())
+        assert err < 0.05, f"adaptive order {order}: {err}"
+
+    def test_order_validation(self, ns, x0):
+        with pytest.raises(ValueError):
+            SA.sample_dpm_solver_adaptive(_ideal_model(ns), x0, ns, order=1)
+
+    @pytest.mark.parametrize("order,algo", [
+        (2, "dpmsolver++"), (3, "dpmsolver++"), (2, "dpmsolver"),
+    ])
+    def test_matches_reference(self, ns, order, algo):
+        import _oracle
+
+        cpd = _oracle.setup()
+        if cpd is None:
+            pytest.skip("reference import failed")
+        import torch
+        import cpd.samplers.solver as ref_solver
+
+        tables = S.make_diffusion_tables()
+        t_ns = ref_solver.NoiseScheduleVP(
+            "discrete", alphas_cumprod=torch.tensor(
+                np.asarray(tables.alphas_cumprod), dtype=torch.float32
+            ),
+        )
+        x_np = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(7), (2, 2, 6, 6)), np.float32
+        )
+
+        def ref_model(x, t_cont):
+            s = t_ns.marginal_std(t_cont).reshape(-1, 1, 1, 1)
+            return s * (x + 0.1 * torch.sin(3.0 * x))
+
+        solver = ref_solver.DPM_Solver(
+            ref_model, t_ns, predict_x0=(algo == "dpmsolver++")
+        )
+        ref_out = solver.sample(
+            torch.tensor(x_np), order=order, method="adaptive"
+        ).numpy()
+
+        def my_model(x, t_cont):
+            return ns.marginal_std(t_cont) * (x + 0.1 * jnp.sin(3.0 * x))
+
+        out = np.asarray(SA.sample_dpm_solver_adaptive(
+            my_model, jnp.asarray(x_np), ns, order=order, algorithm_type=algo,
+        ))
+        # adaptive control flow compounds f32 interp differences across
+        # accept/reject decisions; both solutions approximate the same ODE
+        np.testing.assert_allclose(out, ref_out, rtol=2e-2, atol=2e-2)
