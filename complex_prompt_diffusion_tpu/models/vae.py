@@ -283,17 +283,21 @@ def vae_decode(cfg: VAEConfig, params, z) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def init_vq_quantizer(key, n_embed: int, embed_dim: int):
+def init_vq_quantizer(key, n_embed: int, embed_dim: int, *, commit: bool = True):
     """Codebook init, uniform(-1/n, 1/n) (taming VectorQuantizer convention,
-    referenced at autoencoder.py:9)."""
+    referenced at autoencoder.py:9). Like every init_* entry point the
+    result commits to device in one transfer (commit=False for callers that
+    embed it in a larger tree, e.g. init_vq_model) — direct use from jitted
+    fns would otherwise re-transfer the codebook per call."""
     rng = L.as_np_rng(key)
     import numpy as np
 
-    return {
+    params = {
         "embedding": rng.uniform(
             -1.0 / n_embed, 1.0 / n_embed, (n_embed, embed_dim)
         ).astype(np.float32)
     }
+    return jax.device_put(params) if commit else params
 
 
 def vq_quantize(params, z, beta: float = 0.25):
@@ -328,7 +332,9 @@ def init_vq_model(key, cfg: VAEConfig, n_embed: int = 16384):
     rng = L.as_np_rng(key)
     params["quant_conv"] = L.init_conv(rng, cfg.z_channels, cfg.embed_dim, 1)
     params["post_quant_conv"] = L.init_conv(rng, cfg.embed_dim, cfg.z_channels, 1)
-    params["quantize"] = init_vq_quantizer(rng, n_embed, cfg.embed_dim)
+    params["quantize"] = init_vq_quantizer(
+        rng, n_embed, cfg.embed_dim, commit=False
+    )
     return jax.device_put(params)
 
 

@@ -533,10 +533,6 @@ def _dispatch(x, gamma, beta, num_groups, eps, silu, use_pallas, interpret=False
             # no shard_map wrapper needed
             return _gn_xla_mm(x, gamma, beta, num_groups, eps, silu)
         return _sharded_dispatch(x, gamma, beta, num_groups, eps, silu, use_pallas)
-    if _use_xla_mm(x, interpret):
-        return _gn_xla_mm(x, gamma, beta, num_groups, eps, silu)
-    if _GN_IMPL == "xla" and not interpret:
-        return _gn_xla(x, gamma, beta, num_groups, eps, silu)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n, h, w, c = x.shape
@@ -548,6 +544,18 @@ def _dispatch(x, gamma, beta, num_groups, eps, silu, use_pallas, interpret=False
     # per image — scripts/perf_vae3.py, docs/PERF.md round 3)
     itemsize = jnp.dtype(x.dtype).itemsize
     chunkable = n >= 2 and _chunk_hw(h * w, c, itemsize) > 0
+    # Round-5: the auto xla_mm route for <=16-bit inputs (the UNet-step win,
+    # all of whose planes fit VMEM) LOSES to the chunked streaming kernels
+    # on over-budget VAE-decode planes — 45.7 vs 34.4 ms/img at b4 bf16
+    # (scripts/perf_vae6.py). Keep xla_mm only where the plane fits.
+    prefer_chunked = (
+        use_pallas and not fits and chunkable
+        and _GN_IMPL == "auto" and not interpret
+    )
+    if _use_xla_mm(x, interpret) and not prefer_chunked:
+        return _gn_xla_mm(x, gamma, beta, num_groups, eps, silu)
+    if _GN_IMPL == "xla" and not interpret:
+        return _gn_xla(x, gamma, beta, num_groups, eps, silu)
     if (use_pallas and (fits or chunkable)) or interpret:
         return _gn_pallas_diff(num_groups, eps, silu, interpret)(x, gamma, beta)
     return _gn_xla(x, gamma, beta, num_groups, eps, silu)

@@ -51,18 +51,23 @@ DEEPCACHE_SAMPLERS = frozenset({
 
 
 @functools.lru_cache(maxsize=None)
-def _cast_tree_jit(dtype_str: str):
+def _cast_tree_jit(dtype_str: str, donate: bool = False):
     dt = jnp.dtype(dtype_str)
-    return jax.jit(lambda t: jax.tree.map(lambda a: a.astype(dt), t))
+    return jax.jit(
+        lambda t: jax.tree.map(lambda a: a.astype(dt), t),
+        donate_argnums=(0,) if donate else (),
+    )
 
 
-def _cast_tree(params, dtype: str):
+def _cast_tree(params, dtype: str, donate: bool = False):
     """Cast a whole param pytree in ONE compiled program.
 
     A per-leaf eager ``jnp.asarray(a, dt)`` issues one device RPC per leaf
     (~0.3 s each through the TPU tunnel — minutes for SD-1.5); host numpy
-    leaves cast host-side and device leaves go through one jitted tree-cast
-    (not donated: callers keep using the uncast bundle, e.g. f32/bf16 A/Bs).
+    leaves cast host-side and device leaves go through one jitted tree-cast.
+    donate=False (default) keeps the source tree usable (f32/bf16 A/Bs) at
+    the cost of both copies resident in HBM; donate=True frees the source
+    buffers — the right choice for the common load-then-cast-once path.
     """
     leaves = jax.tree.leaves(params)
     if all(isinstance(a, np.ndarray) for a in leaves):
@@ -72,7 +77,7 @@ def _cast_tree(params, dtype: str):
         return jax.device_put(
             jax.tree.map(lambda a: np.asarray(a).astype(dt), params)
         )
-    return _cast_tree_jit(str(jnp.dtype(dtype)))(params)
+    return _cast_tree_jit(str(jnp.dtype(dtype)), donate)(params)
 
 
 def _unzero_kernels(key, params, scale: float = 0.02):
@@ -119,7 +124,18 @@ class ModelBundle:
     _jit_cache: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @staticmethod
-    def from_checkpoint(path: str, vocab_path: Optional[str] = None) -> "ModelBundle":
+    def from_checkpoint(
+        path: str,
+        vocab_path: Optional[str] = None,
+        dtype: Optional[str] = None,
+    ) -> "ModelBundle":
+        """Load a torch/safetensors SD checkpoint into a device bundle.
+
+        ``dtype``: optional compute dtype (e.g. "bfloat16") applied to the
+        UNet HOST-side before the single device transfer — the cheapest
+        load-then-cast path (half the transfer bytes, no transient f32 +
+        bf16 double residency in HBM; `.cast(dtype)` after loading keeps
+        both copies alive unless donate=True)."""
         from complex_prompt_diffusion_tpu.models.params import load_sd_checkpoint
 
         ck = load_sd_checkpoint(path)
@@ -127,6 +143,12 @@ class ModelBundle:
         unet_cfg, unet_params = ck["unet"]
         vae_cfg, vae_params = ck["vae"]
         clip_cfg, clip_params = ck["clip"]
+        if dtype is not None:
+            dt = jnp.dtype(dtype)
+            unet_params = jax.tree.map(
+                lambda a: np.asarray(a).astype(dt), unet_params
+            )
+            unet_cfg = dataclasses.replace(unet_cfg, dtype=dtype)
         # one batched transfer: host leaves passed straight into jit would
         # otherwise re-transfer on EVERY call (and eager per-leaf puts cost
         # ~0.3 s/RPC through the TPU tunnel)
@@ -199,16 +221,22 @@ class ModelBundle:
             tables=S.make_diffusion_tables(),
         )
 
-    def cast(self, dtype: str) -> "ModelBundle":
-        """Cast UNet weights to a compute dtype (bf16 on TPU)."""
-        params = _cast_tree(self.unet_params, dtype)
+    def cast(self, dtype: str, donate: bool = False) -> "ModelBundle":
+        """Cast UNet weights to a compute dtype (bf16 on TPU).
+
+        donate=False keeps this bundle's device tree usable (both copies
+        resident — ~3x the bf16 HBM footprint for SD-1.5; fine there, tight
+        for larger configs). donate=True frees the source buffers: use it
+        for the common load-then-cast-once path and drop the old bundle.
+        """
+        params = _cast_tree(self.unet_params, dtype, donate=donate)
         return dataclasses.replace(
             self,
             unet_params=params,
             unet_cfg=dataclasses.replace(self.unet_cfg, dtype=dtype),
         )
 
-    def cast_vae(self, dtype: str) -> "ModelBundle":
+    def cast_vae(self, dtype: str, donate: bool = False) -> "ModelBundle":
         """Cast the VAE to a compute dtype. Weights AND activations: the
         encode/decode entry points cast inputs to ``vae_cfg.compute_dtype``,
         so a bf16 cast runs the whole autoencoder at bf16 MXU rate (the
@@ -216,7 +244,7 @@ class ModelBundle:
         bf16 shares f32's exponent range, so the fp16 SD-VAE overflow
         problem does not apply; opt-in because decoded pixels shift by up
         to ~1/255 vs the f32 reference."""
-        params = _cast_tree(self.vae_params, dtype)
+        params = _cast_tree(self.vae_params, dtype, donate=donate)
         return dataclasses.replace(
             self,
             vae_params=params,
@@ -797,6 +825,38 @@ def _build_sampler_fn(
                 return eps_fn(x_in, t_disc, uc, jnp.asarray(False))
 
             return sample_fn(model_fn, x_T, ns, steps=cfg.steps, **solver_kw)
+
+        return jax.jit(run, donate_argnums=(2,))
+
+    if family == "blur":
+        # inverse-heat blur diffusion (blur.py:52-530), drivable like any
+        # registered sampler: eps model = the CFG denoiser on a linear
+        # trained-timestep grid, reverse loop in the DCT eigenbasis.
+        # (Quality needs blur-trained weights; the plumbing is exact.)
+        lh, lw = cfg.latent_shape[0], cfg.latent_shape[1]
+        if lh != lw:
+            raise ValueError(
+                "Blur sampler requires a square canvas (the spectral "
+                f"operator diagonalizes on a square grid; got {lh}x{lw})"
+            )
+        proc = SA.BlurDiffusion(n=cfg.steps, resolution=lh)
+        uc_b = jnp.asarray(cfg.guidance.guidance_scale, jnp.float32)
+        n_b = cfg.steps
+
+        def run(unet_params, spec, x_T, key, noises, depth_mask, guide_args):
+            unet_eps = _make_unet_eps(
+                unet_params, _hoisted_kv(unet_params, spec, x_T.shape[0])
+            )
+            eps_fn, _ = make_denoiser(
+                unet_eps, spec, gcfg=cfg.guidance, depth_mask=depth_mask
+            )
+
+            def eps_model(x_in, i):
+                # blur index i in [1..steps] -> trained timestep grid
+                t = (jnp.asarray(i, jnp.float32) / n_b) * 999.0
+                return eps_fn(x_in, t, uc_b, jnp.asarray(False))
+
+            return sample_fn(eps_model, proc, x_T.shape, key=key)
 
         return jax.jit(run, donate_argnums=(2,))
 

@@ -38,6 +38,7 @@ from complex_prompt_diffusion_tpu.samplers.solver import (
 )
 from complex_prompt_diffusion_tpu.samplers.unipc import sample_unipc
 from complex_prompt_diffusion_tpu.samplers.repaint import sample_repaint
+from complex_prompt_diffusion_tpu.samplers.blur import BlurDiffusion, sample_blur
 from complex_prompt_diffusion_tpu.samplers.registry import (
     SAMPLERS,
     get_sampler,
@@ -64,6 +65,8 @@ __all__ = [
     "sample_dpm_solver_adaptive",
     "sample_unipc",
     "sample_repaint",
+    "BlurDiffusion",
+    "sample_blur",
     "SAMPLERS",
     "get_sampler",
     "register",

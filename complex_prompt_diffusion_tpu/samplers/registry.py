@@ -73,3 +73,9 @@ register("UniPC", "solver")(_unipc.sample_unipc)
 # trig family (iPNDM's own sin^2 schedule — ipndms.py:25-30; the reference
 # ships the scheduler unregistered, here it is a full sampler)
 register("iPNDM", "trig")(_ipndm.sample_ipndm)
+
+# blur-diffusion family (inverse-heat dissipation, blur.py:52-530 — the
+# reference never @registers it; here it is drivable from the public API)
+from complex_prompt_diffusion_tpu.samplers import blur as _blur  # noqa: E402
+
+register("Blur", "blur")(_blur.sample_blur)

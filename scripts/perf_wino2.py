@@ -1,4 +1,4 @@
-"""Fused Pallas Winograd F(2x2,3x3) (ops/winograd.py) vs XLA direct conv
+"""Fused Pallas Winograd F(2x2,3x3) (ops/probes/winograd.py) vs XLA direct conv
 vs the shifted-matmul Pallas conv (ops/conv.py) at the SD-1.5 level shapes
 the Winograd VMEM budget admits. NHWC bf16; whole-fori-loop A/B, min-of-3.
 
@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpd")
 from complex_prompt_diffusion_tpu.ops.conv import conv3x3, conv3x3_supported
-from complex_prompt_diffusion_tpu.ops.winograd import (
+from complex_prompt_diffusion_tpu.ops.probes.winograd import (
     wino3x3,
     wino3x3_supported,
 )

@@ -195,3 +195,35 @@ class TestFullScaleRoundTrip:
 
         out = M.clip_text_apply(clip_cfg, clip_params, jnp.asarray(ids))
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-3)
+
+
+class TestGoldenDrill:
+    def test_golden_drill_roundtrip(self, sd15_checkpoint, tmp_path):
+        """Real-weights day-1 drill (VERDICT r4 item 7): the one-command
+        golden-latent procedure in scripts/demo_txt2img.py, exercised
+        end-to-end against the synthesized full-scale checkpoint — record
+        goldens, re-check them (PASS), then prove the check actually bites
+        by perturbing the stored latents (FAIL)."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        try:
+            import demo_txt2img as demo
+        finally:
+            sys.path.pop(0)
+
+        g = str(tmp_path / "golden.npz")
+        common = [
+            "--ckpt", sd15_checkpoint["path"], "--steps", "2",
+            "--size", "256", "--sampler", "DDIM", "--seed", "3",
+        ]
+        rc = demo.main(common + ["--save-golden", g])
+        assert rc == 0
+        rc = demo.main(common + ["--golden", g])
+        assert rc == 0, "fresh goldens must PASS against the same build"
+
+        blob = dict(np.load(g, allow_pickle=True))
+        blob["latents"] = blob["latents"] + 0.1
+        np.savez(g, **blob)
+        rc = demo.main(common + ["--golden", g])
+        assert rc == 1, "perturbed goldens must FAIL"

@@ -343,6 +343,54 @@ class TestCollectiveCounts:
                 f"edit added collectives to the TP-8 critical path"
             )
 
+    # DeepCache retrieval (shallow level-0) step under TP-8: measured
+    # round 5 on the CPU mesh — ~10x lighter than the full step, as the
+    # level-0-only pass should be. Pinned so the cached path can't silently
+    # grow collectives (VERDICT r4 item 10).
+    TP8_SD15_SHALLOW_MAX = {"all-reduce": 5, "collective-permute": 45,
+                            "all-to-all": 20}
+
+    def test_tp8_deepcache_shallow_collectives_pinned(self):
+        r = _run(
+            """
+            import re, jax, jax.numpy as jnp
+            from complex_prompt_diffusion_tpu import models as M
+            from complex_prompt_diffusion_tpu.parallel.mesh import make_mesh
+            from complex_prompt_diffusion_tpu.parallel.tp import shard_bundle
+            from complex_prompt_diffusion_tpu.pipeline import ModelBundle
+
+            tb = shard_bundle(ModelBundle.random("sd15"), make_mesh(model=8))
+            cfg = tb.unet_cfg
+            dt = cfg.compute_dtype
+            x = jnp.zeros((2, 32, 32, cfg.in_channels), dt)
+            t = jnp.zeros((2,), jnp.float32)
+            ctx = jnp.zeros((2, 77, cfg.context_dim), dt)
+            unet_full, unet_shallow = M.make_deepcache_unets(
+                cfg, tb.unet_params, None)
+            deep_sd = jax.eval_shape(lambda xx: unet_full(xx, t, ctx)[1], x)
+            deep0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
+            hlo = jax.jit(
+                lambda xx, st: unet_shallow(xx, t, ctx, st)
+            ).lower(x, deep0).compile().as_text()
+            for op in ("all-reduce", "collective-permute", "all-to-all"):
+                n = len(re.findall(rf" {op}(?:-start)?\\(", hlo))
+                print(f"count {op} {n}")
+            """,
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        counts = dict(
+            (m.group(1), int(m.group(2)))
+            for m in re.finditer(r"count (\S+) (\d+)", r.stdout)
+        )
+        assert set(counts) == set(self.TP8_SD15_SHALLOW_MAX), counts
+        assert counts["all-reduce"] > 0, counts
+        for op, mx in self.TP8_SD15_SHALLOW_MAX.items():
+            assert counts[op] <= mx, (
+                f"{op} grew: {counts[op]} > pinned {mx} (DeepCache shallow "
+                f"TP-8 step picked up collectives)"
+            )
+
     def test_dp_render_step_no_collectives(self):
         # pure data parallelism: replicated weights + batch-sharded latents
         # must compile to ZERO cross-device collectives in the UNet step

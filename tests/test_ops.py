@@ -636,7 +636,7 @@ class TestConv3x3:
 
 
 class TestWinograd3x3:
-    """ops/winograd.py fused Winograd F(2x2,3x3) conv vs XLA conv
+    """ops/probes/winograd.py fused Winograd F(2x2,3x3) conv vs XLA conv
     (interpret mode). Measured negative at every SD level shape on the
     real chip (docs/PERF.md round 3, scripts/perf_wino2.py) — kept as
     tested opt-in infrastructure, never auto-dispatched."""
@@ -650,7 +650,7 @@ class TestWinograd3x3:
         ],
     )
     def test_matches_xla(self, b, h, w, ci, co):
-        from complex_prompt_diffusion_tpu.ops import winograd as W
+        from complex_prompt_diffusion_tpu.ops.probes import winograd as W
 
         rng = np.random.default_rng(3)
         x = jnp.asarray(rng.standard_normal((b, h, w, ci)), jnp.float32)
@@ -661,7 +661,7 @@ class TestWinograd3x3:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
     def test_gradient_matches_xla(self):
-        from complex_prompt_diffusion_tpu.ops import winograd as W
+        from complex_prompt_diffusion_tpu.ops.probes import winograd as W
 
         rng = np.random.default_rng(4)
         x = jnp.asarray(rng.standard_normal((1, 8, 8, 128)), jnp.float32)
@@ -679,7 +679,7 @@ class TestWinograd3x3:
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
     def test_supported_guard_and_fallback(self):
-        from complex_prompt_diffusion_tpu.ops import winograd as W
+        from complex_prompt_diffusion_tpu.ops.probes import winograd as W
 
         # 32^2 x 640 and 8^2 x 1280 fit the VMEM budget
         assert W.wino3x3_supported((2, 32, 32, 640), (3, 3, 640, 640), 1, 1)
@@ -704,7 +704,7 @@ class TestWinograd3x3:
         # U = G g G^T reproduces the conv on a delta input: conv(delta) at
         # the center equals the kernel sum row — cross-check the transform
         # against a direct numpy Winograd evaluation of one 4x4 tile
-        from complex_prompt_diffusion_tpu.ops import winograd as W
+        from complex_prompt_diffusion_tpu.ops.probes import winograd as W
 
         rng = np.random.default_rng(6)
         g = jnp.asarray(rng.standard_normal((3, 3, 1, 1)), jnp.float32)

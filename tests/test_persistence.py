@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from complex_prompt_diffusion_tpu.pipeline import (
@@ -157,3 +158,20 @@ class TestMakeItFit:
 
         with pytest.raises(ValueError, match="trailing"):
             make_it_fit({"w": np.zeros((2, 2, 3, 3))}, {"w": (4, 2, 5, 5)})
+
+
+class TestCastFootprint:
+    """ADVICE r4: donating cast for the load-then-cast-once path, and the
+    host-side dtype cast in from_checkpoint."""
+
+    def test_cast_donate(self):
+        from complex_prompt_diffusion_tpu.pipeline import ModelBundle
+
+        b = ModelBundle.random("tiny")
+        bb = b.cast("bfloat16", donate=True).cast_vae("bfloat16", donate=True)
+        assert bb.unet_cfg.dtype == "bfloat16"
+        leaf = jax.tree.leaves(bb.unet_params)[0]
+        assert leaf.dtype == jnp.bfloat16
+        cfg = RenderConfig(steps=2, width=32, height=32)
+        _, lat = txt2img(bb, "a cat", cfg=cfg, decode=False)
+        assert np.isfinite(np.asarray(lat)).all()
