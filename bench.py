@@ -280,8 +280,11 @@ def main():
         "without CLIP/decode/transfer",
     )
     ap.add_argument(
-        "--stream", type=int, default=3,
-        help="number of batches in the streamed e2e headline (default 3)",
+        "--stream", type=int, default=6,
+        help="number of batches in the streamed e2e headline (default 6 — "
+        "long enough that the pipeline-fill and tail-transfer edges stop "
+        "dominating; the metric reports steady-state serving throughput "
+        "and labels the batch count)",
     )
     args = ap.parse_args()
 

@@ -30,6 +30,7 @@ from complex_prompt_diffusion_tpu.pipeline import (
     ModelBundle, RenderConfig, decode_latents, make_guidance_spec,
     sample_latents,
 )
+from complex_prompt_diffusion_tpu.utils.metrics import psnr, ssim
 
 
 def main():
@@ -86,7 +87,7 @@ def main():
     print(f"exact: {args.batch / t_exact:.3f} img/s "
           f"(latent RMS {rms_exact:.3f})")
     print(f"{'variant':18s} {'img/s':>7s} {'speedup':>8s} {'lat relRMSE':>12s} "
-          f"{'px mean|d|':>11s} {'px max|d|':>10s}")
+          f"{'px mean|d|':>11s} {'px max|d|':>10s} {'PSNR dB':>8s} {'SSIM':>7s}")
     for tag, kw in variants:
         cfg = RenderConfig(**base, **kw)
         lat, t = render(cfg, tag)
@@ -95,7 +96,8 @@ def main():
         d = np.abs(img - exact_img)
         print(f"{tag:18s} {args.batch / t:7.3f} {t_exact / t:7.2f}x "
               f"{rmse / rms_exact:12.4f} {float(d.mean()):11.2f} "
-              f"{int(d.max()):10d}")
+              f"{int(d.max()):10d} {psnr(img, exact_img):8.2f} "
+              f"{ssim(img, exact_img):7.4f}")
 
     # bf16 VAE decode delta on the SAME exact latents (for the default
     # decode dtype decision, VERDICT item 1)
@@ -103,7 +105,8 @@ def main():
     img_bf = decode_latents(bf, jnp.asarray(exact)).astype(np.int32)
     d = np.abs(img_bf - exact_img)
     print(f"{'bf16 VAE decode':18s} {'-':>7s} {'-':>8s} {'-':>12s} "
-          f"{float(d.mean()):11.3f} {int(d.max()):10d}")
+          f"{float(d.mean()):11.3f} {int(d.max()):10d} "
+          f"{psnr(img_bf, exact_img):8.2f} {ssim(img_bf, exact_img):7.4f}")
 
 
 if __name__ == "__main__":

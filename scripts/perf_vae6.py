@@ -19,6 +19,8 @@ cfg = dataclasses.replace(
 params = M.init_vae(jax.random.PRNGKey(0), cfg, commit=False)
 params = jax.device_put(jax.tree.map(lambda a: np.asarray(a).astype("bfloat16"), params))
 hw = 64 if on_tpu else 4
+import sys
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 
 @jax.jit
 def run(p, z):
@@ -30,11 +32,11 @@ def run(p, z):
     s, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(5))
     return s
 
-z0 = jax.random.normal(jax.random.PRNGKey(1), (4, hw, hw, 4), jnp.float32)
+z0 = jax.random.normal(jax.random.PRNGKey(1), (B, hw, hw, 4), jnp.float32)
 float(run(params, z0))
 ts = []
 for i in range(3):
-    z = jax.random.normal(jax.random.PRNGKey(2 + i), (4, hw, hw, 4), jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(2 + i), (B, hw, hw, 4), jnp.float32)
     t0 = time.perf_counter(); float(run(params, z)); ts.append(time.perf_counter() - t0)
 print(json.dumps({"gn_impl": os.environ.get("CPD_TPU_GN_IMPL", "auto"),
-                  "ms_per_img": round(min(ts) / 5 / 4 * 1000, 2)}))
+                  "B": B, "ms_per_img": round(min(ts) / 5 / B * 1000, 2)}))

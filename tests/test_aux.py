@@ -356,3 +356,25 @@ class TestUtils:
         seed_everything(123)
         b = np.random.rand(3)
         np.testing.assert_array_equal(a, b)
+
+
+class TestImageMetrics:
+    """psnr/ssim (utils/metrics.py round 5): analytic sanity properties —
+    identity is perfect, quality degrades monotonically with noise, and
+    unrelated images score near zero SSIM."""
+
+    def test_properties(self):
+        from complex_prompt_diffusion_tpu.utils.metrics import psnr, ssim
+
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.float64)
+        assert psnr(a, a) == float("inf")
+        assert ssim(a, a) == pytest.approx(1.0)
+        b5 = np.clip(a + rng.normal(0, 5, a.shape), 0, 255)
+        b25 = np.clip(a + rng.normal(0, 25, a.shape), 0, 255)
+        assert psnr(a, b5) > psnr(a, b25) > 10.0
+        assert 1.0 > ssim(a, b5) > ssim(a, b25)
+        c = rng.integers(0, 255, a.shape).astype(np.float64)
+        assert ssim(a, c) < 0.1
+        # known closed form: uniform noise sigma -> 20 log10(255/sigma)
+        assert psnr(a, b5) == pytest.approx(20 * np.log10(255 / 5), abs=1.0)
