@@ -312,6 +312,27 @@ class TestManager:
         )
         assert imgs.shape[0] == 1
 
+    def test_json_solver_knobs(self, bundle):
+        """The continuous-time solver knobs flow through the JSON surface
+        (manager merges any RenderConfig field from sampler args)."""
+        from complex_prompt_diffusion_tpu.manager import DiffusionModelManager
+
+        mgr = DiffusionModelManager(bundle=bundle)
+        imgs = mgr.process_txt2img({
+            "sampler": {"name": "UniPC", "args": {
+                "unipc_variant": "vary_coeff", "solver_order": 2}},
+            "prompt": "a cat",
+            "render": {"steps": 3, "W": 32, "H": 32},
+        })
+        assert imgs.shape[0] == 1
+        imgs = mgr.process_txt2img({
+            "sampler": {"name": "dpm_solver", "args": {
+                "solver_method": "adaptive"}},
+            "prompt": "a cat",
+            "render": {"steps": 3, "W": 32, "H": 32},
+        })
+        assert imgs.shape[0] == 1
+
     def test_vae_dtype_cast(self, bundle):
         # opt-in bf16 autoencoder (serving: decode at bf16 MXU rate,
         # docs/PERF.md round 3) — same latents must decode to nearly the
