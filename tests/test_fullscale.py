@@ -227,3 +227,80 @@ class TestGoldenDrill:
         np.savez(g, **blob)
         rc = demo.main(common + ["--golden", g])
         assert rc == 1, "perturbed goldens must FAIL"
+
+
+class TestFullScaleLoopParity:
+    def test_full_ddim_cfg_loop_sd15(self, sd15_checkpoint):
+        """The north star at full scale (BASELINE: bit-stable latents vs the
+        reference at fixed seed, injected noise): the reference's own
+        DDIMSampler loop driving its real 860M-param UNet vs our loaded-
+        checkpoint sample_latents — same weights, same x_T, same CFG 7.5.
+        (Tiny-scale version: test_samplers.py
+        test_full_ddim_cfg_loop_matches_reference; per-module full-scale
+        parity: TestFullScaleRoundTrip. This composes both.)"""
+        import dataclasses
+
+        import torch
+
+        from cpd.samplers.ddim import DDIMSampler
+
+        from complex_prompt_diffusion_tpu.guidance import GuidanceSpec
+        from complex_prompt_diffusion_tpu.pipeline import (
+            ModelBundle, RenderConfig, sample_latents,
+        )
+
+        rng = np.random.default_rng(11)
+        steps, hw = 2, 16  # 128px canvas bounds single-core CPU runtime
+        x_T = rng.normal(size=(1, 4, hw, hw)).astype(np.float32)
+        cond = rng.normal(size=(1, 77, 768)).astype(np.float32)
+        uncond = rng.normal(size=(1, 77, 768)).astype(np.float32)
+
+        class Empty(torch.nn.Module):
+            pass
+
+        model = {
+            "unet": sd15_checkpoint["unet"],
+            "vae": Empty(),
+            "tokenizer": None,
+            "decode": lambda z: z,
+            "clip_new_model": Empty(),
+        }
+        sampler = DDIMSampler(model, logger=lambda *a: None)
+        sampler.device = "cpu"
+        with torch.no_grad():
+            ref_out, _ = sampler.sample(
+                steps, 1, (4, hw, hw),
+                conditioning={
+                    "and": [(1.0, torch.tensor(cond), None, torch.tensor(1.0))],
+                    "not": [],
+                },
+                x_T=torch.tensor(x_T),
+                unconditional_conditioning=torch.tensor(uncond),
+                unconditional_guidance_scale=7.5,
+                eta=0.0, verbose=False, silent=True,
+            )
+        ref_out = ref_out.numpy()
+
+        bundle = ModelBundle.from_checkpoint(sd15_checkpoint["path"])
+        bundle = dataclasses.replace(
+            bundle,
+            unet_cfg=dataclasses.replace(bundle.unet_cfg, dtype="float32"),
+        )
+        spec = GuidanceSpec.single(
+            jnp.asarray(cond[0]), jnp.asarray(uncond[0])
+        )
+        cfg = RenderConfig(steps=steps, width=hw * 8, height=hw * 8)
+        lat = sample_latents(
+            bundle, spec, cfg,
+            x_init=jnp.asarray(x_T.transpose(0, 2, 3, 1)),
+        )
+        # tolerance: per-module full-scale parity is ~1e-3 (above); the
+        # CFG combine multiplies module noise by scale 7.5 and the x0-pred
+        # coefficients by up to ~2x per step, so two steps compound to the
+        # observed ~1-2% relative divergence between independent f32
+        # op orders. Wiring errors (timesteps, CFG signs, update coeffs)
+        # diverge at O(1) and still fail loudly at this tolerance.
+        np.testing.assert_allclose(
+            np.asarray(lat).transpose(0, 3, 1, 2), ref_out,
+            atol=0.06, rtol=0.02,
+        )
