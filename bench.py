@@ -200,6 +200,11 @@ def bench_e2e_stream(args):
         return imgs
 
     sol = 197e12 / (0.68e12 * 2 * steps)
+    # scripts/roofline.py: the folklore 0.68 TF/img undercounts the real
+    # CFG-step FLOPs (projections/FF) — exact enumeration is 1.531 TF per
+    # image-step incl. CFG. vs_baseline keeps the 0.68-based convention
+    # (BASELINE.md); vs_sol_exact_flops reports against the exact count.
+    sol_exact = 197e12 / (1.531e12 * steps)
     rows = [("exact-f32-decode", bundle)]
     if on_tpu:
         rows.append(("bf16-decode", bundle.cast_vae("bfloat16")))
@@ -222,6 +227,8 @@ def bench_e2e_stream(args):
             "value": round(images_per_sec, 4),
             "unit": "images/sec",
             "vs_baseline": round(images_per_sec / sol, 4) if full else 0.0,
+            "vs_sol_exact_flops": round(images_per_sec / sol_exact, 4)
+            if full else 0.0,
             "stream_batches": n_stream,
             "batch": args.batch,
             "steps": steps,
